@@ -1,0 +1,136 @@
+package graft.stream
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.lake.LakeTable
+import graft.merge.{MergeInto, MergeOptions}
+import graft.model.Schemas
+
+/**
+ * The flagship pipeline (north rule): tail a WAL/binlog-style append-only
+ * directory of change files, deduplicate by lsn within a watermark, and apply
+ * key-partitioned MERGE upserts to the lake table with exactly-once commits.
+ *
+ * This replaces the reference's whole pipeline-stage model
+ * (/root/reference/pipeline.go:20-27: stages of goroutines joined by
+ * channels) with one declarative Structured Streaming job:
+ *
+ *   readStream.parquet(wal)                       — source stage (S3Reader /
+ *     IoReader analogue, /root/reference/processors/s3_reader.go:40-47);
+ *     `maxFilesPerTrigger` is the batching/backpressure knob the reference
+ *     implements with bounded channels (/root/reference/pipeline.go:182-184)
+ *   .withWatermark(ts).dropDuplicatesWithinWatermark(lsn)
+ *                                                 — bounded-state dedup; dups
+ *     beyond the watermark are still resolved by the idempotent max-LSN merge
+ *   .writeStream.foreachBatch(MergeInto.merge)    — the SQLWriter upsert stage
+ *     (/root/reference/processors/sql_writer.go:44-68), made exactly-once by
+ *     the (checkpointId, epochId) ledger instead of at-least-once
+ *   checkpointLocation                            — offsets WAL; restart
+ *     resumes from the last committed epoch (the reference restarts from
+ *     scratch — SURVEY.md §2.6 "Streaming")
+ *
+ * Watermark sizing: `watermarkDelay` must exceed the max event-time lateness
+ * an event can have relative to the newest event already read, otherwise the
+ * dedup operator may treat it as too-late. Correctness does not depend on
+ * this (the merge converges regardless); only streaming-dedup state size does.
+ *
+ * Schema evolution: the source schema is fixed at query start, so a restart
+ * (with the widened schema) picks up newly added columns — same contract as
+ * Iceberg streaming reads. Old files read as null for added columns.
+ */
+final case class IngestConfig(
+    walDir: String,
+    tableDir: String,
+    checkpointDir: String,
+    schema: StructType = Schemas.changeV2,
+    watermarkCol: String = "ts",
+    watermarkDelay: String = "2 hours",
+    /** streaming lsn-dedup on/off (merge is idempotent either way) */
+    streamDedup: Boolean = true,
+    maxFilesPerTrigger: Option[Int] = None,
+    mergeOptions: MergeOptions = MergeOptions())
+
+object CdcIngestJob {
+
+  /** Stable commit-ledger id for a checkpoint location. */
+  def ckptId(checkpointDir: String): String = {
+    val d = MessageDigest.getInstance("SHA-1")
+      .digest(checkpointDir.getBytes(StandardCharsets.UTF_8))
+    d.take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** Payload schema = change schema minus the envelope (op, lsn). */
+  def payloadSchema(changeSchema: StructType): StructType =
+    StructType(changeSchema.fields.filterNot(f => f.name == "op" || f.name == "lsn"))
+
+  def start(spark: SparkSession, cfg: IngestConfig, trigger: Trigger): StreamingQuery = {
+    if (!LakeTable.exists(cfg.tableDir))
+      LakeTable.create(cfg.tableDir, payloadSchema(cfg.schema))
+    val id = ckptId(cfg.checkpointDir)
+
+    var src = spark.readStream
+      .schema(cfg.schema)
+      .option("recursiveFileLookup", "true")
+    cfg.maxFilesPerTrigger.foreach(n => src = src.option("maxFilesPerTrigger", n))
+    val raw = src.parquet(cfg.walDir)
+    val deduped =
+      if (cfg.streamDedup)
+        raw.withWatermark(cfg.watermarkCol, cfg.watermarkDelay)
+          .dropDuplicatesWithinWatermark("lsn")
+      else raw
+
+    deduped.writeStream
+      .queryName(s"cdc-ingest-$id")
+      .option("checkpointLocation", cfg.checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val table = LakeTable.load(cfg.tableDir)
+        MergeInto.merge(batch.sparkSession, table, batch, id, epochId, cfg.mergeOptions)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
+  /**
+   * Process everything currently in the WAL, then stop (replay / catch-up
+   * mode — the analogue of one reference Pipeline.Run()). Returns rows in the
+   * table afterwards.
+   */
+  def runAvailableNow(spark: SparkSession, cfg: IngestConfig): Long = {
+    val listener = new LineageListener(cfg.tableDir)
+    spark.streams.addListener(listener)
+    try {
+      val q = start(spark, cfg, Trigger.AvailableNow())
+      q.awaitTermination()
+    } finally spark.streams.removeListener(listener)
+    LakeTable.load(cfg.tableDir).read(spark).count()
+  }
+}
+
+/**
+ * Per-epoch lineage: source offset ranges + row counts + durations from query
+ * progress, dropped as JSON next to the table (`_lineage/`). Together with
+ * the `_metrics` table (MergeStats incl. snapshot version + lsn range per
+ * epoch) this is the engine's upgrade of the reference's per-stage stats
+ * (/root/reference/execution_stat.go:9-48, pipeline.go:205-221).
+ */
+final class LineageListener(tableDir: String) extends StreamingQueryListener {
+  private val dir = Paths.get(tableDir, "_lineage")
+
+  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+    Files.createDirectories(dir)
+
+  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+    val p = e.progress
+    Files.write(dir.resolve(f"epoch-${p.batchId}%010d.json"),
+      p.json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+}
