@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.gen.GenParams
+import graft.ops._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /**
+   * Flagship: the CDC ingest loop of the north rule at smoke scale —
+   * deterministic changelog -> WAL -> streaming ingest (watermarked lsn
+   * dedup, exactly-once epoch merges) -> final transcript table.
+   */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    EngineQueries.cdcStreamE2E(spark,
+      GenParams(nEvents = 10000, nConvs = 120, eventsPerFile = 2000,
+        maxLateEvents = 300))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    CdcQueries.queries ++ TextOps.queries ++ SimilarityOps.queries ++
+      RelationalOps.queries ++ Multimodal.queries ++ EngineQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (engine e2e, LSH/minhash/simhash, multimodal stub) — those are
+    * verified by the fold-oracle + replay tests in `sbt test`. */
+  def oracleSql: Map[String, String] =
+    CdcQueries.oracles ++ TextOps.oracles ++ SimilarityOps.oracles ++
+      RelationalOps.oracles ++ Multimodal.oracles ++ EngineQueries.oracles
 }
