@@ -82,13 +82,16 @@ object CdcQueries {
         countDistinct(col("event_id")).as("n_unique"))
     }),
 
-    // Out-of-order telemetry: events whose event time regressed vs lsn order.
+    // Regression telemetry via lag window: events whose `value` dropped vs the
+    // previous event of the same key in lsn order. (The events table is
+    // ts-monotone per key, so value regression is the non-vacuous analogue of
+    // the out-of-order detector the streaming engine runs on event time.)
     "q_out_of_order" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
       events(s, dir)
-        .withColumn("pts", lag(col("ts"), 1).over(w))
-        .filter(col("pts").isNotNull && col("ts") < col("pts"))
-        .groupBy(col("user_id")).agg(count(lit(1)).as("n_ooo"))
+        .withColumn("pv", lag(col("value"), 1).over(w))
+        .filter(col("pv").isNotNull && col("value") < col("pv"))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_regress"))
     }),
 
     // Sessionization: gap > 30 min starts a new session (stateful-window
@@ -151,12 +154,12 @@ object CdcQueries {
     "q_dedup_lsn" ->
       "SELECT count(*) AS n_total, count(DISTINCT event_id) AS n_unique FROM events",
     "q_out_of_order" ->
-      """SELECT user_id, count(*) AS n_ooo FROM (
-           SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS pts
+      """SELECT user_id, count(*) AS n_regress FROM (
+           SELECT user_id, value, lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv
            FROM events)
-         WHERE pts IS NOT NULL AND ts < pts GROUP BY user_id""",
+         WHERE pv IS NOT NULL AND value < pv GROUP BY user_id""",
     "q_sessionize" ->
-      """SELECT user_id, sum(new_s) AS n_sessions FROM (
+      """SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions FROM (
            SELECT user_id,
                   CASE WHEN pts IS NULL OR date_diff('second', pts, ts) > 1800
                        THEN 1 ELSE 0 END AS new_s
@@ -170,6 +173,6 @@ object CdcQueries {
          FROM events GROUP BY 1""",
     "q_json_extract" ->
       """SELECT event_type,
-         sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
          FROM events GROUP BY event_type""")
 }
