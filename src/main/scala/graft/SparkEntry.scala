@@ -21,7 +21,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CdcQueries.queries ++ TextOps.queries ++ SimilarityOps.queries ++
-      RelationalOps.queries ++ Multimodal.queries ++ EngineQueries.queries
+      RelationalOps.queries ++ Multimodal.queries ++ EngineQueries.queries ++
+      SinkOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -29,5 +30,6 @@ object SparkEntry {
     * verified by the fold-oracle + replay tests in `sbt test`. */
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ TextOps.oracles ++ SimilarityOps.oracles ++
-      RelationalOps.oracles ++ Multimodal.oracles ++ EngineQueries.oracles
+      RelationalOps.oracles ++ Multimodal.oracles ++ EngineQueries.oracles ++
+      SinkOps.oracles
 }

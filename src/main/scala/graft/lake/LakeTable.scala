@@ -152,6 +152,14 @@ final class LakeTable(val dir: String) {
   /** Current table contents (tombstones filtered, metadata cols dropped). */
   def read(spark: SparkSession): DataFrame = readAt(spark, currentVersion)
 
+  /** Per-epoch merge metrics table (throughput/lineage surface; one row per
+    * committed epoch — see MergeStats). Empty DataFrame before first merge. */
+  def metrics(spark: SparkSession): DataFrame = {
+    val p = Paths.get(dir, "_metrics")
+    if (Files.isDirectory(p)) spark.read.parquet(p.toString)
+    else spark.emptyDataFrame
+  }
+
   /** Time travel: table contents as of a given snapshot version. */
   def readAt(spark: SparkSession, version: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, not, coalesce, lit}

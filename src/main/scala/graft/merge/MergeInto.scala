@@ -50,6 +50,8 @@ final case class MergeOptions(
     deleteOp: String = "D",
     saltBuckets: Int = 16,
     targetRowsPerFile: Long = 500000L,
+    /** parallelism floor only applies while files stay above this size */
+    minRowsPerFile: Long = 10000L,
     /** max #distinct first-key values collected to the driver for pruning */
     collectKeysLimit: Int = 100000)
 
@@ -144,7 +146,15 @@ object MergeInto {
       val newVersion = snap.version + 1
       val outDir = s"${table.dir}/data/v$newVersion"
       val estRows = touched.map(_.rows).sum + bRows
-      val nOut = math.max(1L, (estRows + opts.targetRowsPerFile - 1) / opts.targetRowsPerFile).toInt
+      // File-count target, floored at cluster parallelism: with few/large
+      // target files the final sort+write would otherwise run as 1-2 tasks
+      // and serialize the whole epoch (cores beyond the file count idle).
+      // The floor is itself bounded by minRowsPerFile so tiny epochs don't
+      // spray micro-files (compaction cleans up what remains).
+      val bySize = (estRows + opts.targetRowsPerFile - 1) / opts.targetRowsPerFile
+      val byPar = math.min(spark.sparkContext.defaultParallelism.toLong,
+        estRows / opts.minRowsPerFile)
+      val nOut = math.max(1L, math.max(bySize, byPar)).toInt
       val sortCols = keyCols.map(col) :+ col(LsnCol)
       resolved
         .repartitionByRange(nOut, keyCols.map(col): _*)

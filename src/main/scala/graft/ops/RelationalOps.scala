@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -61,6 +62,71 @@ object RelationalOps {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .select(col("o_orderkey"), col("o_totalprice"))
         .limit(10)
+    }),
+
+    // Rollup (grouping sets): subtotal rows materialized with grouping flags.
+    "q_rollup" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"))
+    }),
+
+    // Analytic window frame: centered-on-history moving sum (2 preceding ..
+    // current) of an integer-valued measure — exact across engines.
+    "q_moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(-2, Window.currentRow)
+      tbl(s, dir, "lineitem")
+        .filter(col("l_suppkey") <= 10)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity")).over(w).as("qty_3"))
+    }),
+
+    // Pivot: per-key counts fanned out to one column per category.
+    "q_pivot" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+    }),
+
+    // Set ops: intersect / except on key sets (distinct semantics).
+    "q_intersect" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      o.filter(col("o_totalprice") > 200000).select(col("o_custkey"))
+        .intersect(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+    }),
+    "q_except" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      o.select(col("o_custkey"))
+        .except(o.filter(col("o_totalprice") > 400000).select(col("o_custkey")))
+    }),
+
+    // The SQL-text surface (the reference pushes raw SQL strings to external
+    // engines, processors/sql_reader.go:16-28; here Catalyst runs them):
+    // TPC-H Q3 shape through spark.sql over registered views.
+    "q_sql_text" -> ((s, dir) => {
+      tbl(s, dir, "customer").createOrReplaceTempView("v_customer")
+      tbl(s, dir, "orders").createOrReplaceTempView("v_orders")
+      tbl(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT o_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM v_customer JOIN v_orders ON c_custkey = o_custkey
+                        JOIN v_lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 20""")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -85,5 +151,37 @@ object RelationalOps {
          GROUP BY l_returnflag, l_linestatus""",
     "q_topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q_rollup" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS prio,
+                coalesce(o_orderstatus, 'ALL') AS status, count(*) AS n
+         FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
+    "q_moving_avg" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+                sum(l_quantity) OVER (PARTITION BY l_suppkey
+                  ORDER BY l_orderkey, l_linenumber
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS qty_3
+         FROM lineitem WHERE l_suppkey <= 10""",
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+                CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+                CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+                CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p
+         FROM orders GROUP BY o_orderpriority""",
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""",
+    "q_except" ->
+      """SELECT o_custkey FROM orders
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_totalprice > 400000""",
+    "q_sql_text" ->
+      """SELECT o_orderkey,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+                       JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY o_orderkey
+         ORDER BY revenue DESC, o_orderkey LIMIT 20""")
 }

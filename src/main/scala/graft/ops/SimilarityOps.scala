@@ -108,7 +108,13 @@ object SimilarityOps {
 
     // ANN: random-hyperplane LSH signature buckets + exact cosine re-rank
     // within bucket; top-3 per query vector.
-    "q_embed_lsh_topk" -> ((s, dir) => embedLshTopK(embs(s, dir), k = 3)))
+    "q_embed_lsh_topk" -> ((s, dir) => embedLshTopK(embs(s, dir), k = 3)),
+
+    // ANN: IVF coarse quantization, nProbe nearest clusters searched exactly.
+    "q_embed_ivf_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      embedIvfTopK(e, e.filter(col("vec_id") < 3), k = 3)
+    }))
 
   val oracles: Map[String, String] = Map(
     "q_ngram_jaccard" ->
@@ -159,9 +165,14 @@ object SimilarityOps {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // verify candidates with exact Jaccard over (all) shingles
+    // verify candidates with exact Jaccard — but only over docs that appear
+    // in some candidate pair (left_semi pruning), so verification cost scales
+    // with the near-dup population, not the corpus: the whole point of LSH.
+    val candDocs = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val exCand = ex.join(candDocs, Seq("doc_id"), "left_semi")
     val sz = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = ex.as("x").join(ex.as("y"),
+    val common = exCand.as("x").join(exCand.as("y"),
       col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
@@ -226,6 +237,45 @@ object SimilarityOps {
         cosine(col("a.emb"), col("b.emb")).as("sim_raw"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim_raw").desc, col("nid"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), round(col("sim_raw"), 4).as("sim"))
+  }
+
+  /**
+   * ANN via IVF (inverted-file) coarse quantization: assign every vector to
+   * its nearest of `nCentroids` coarse centroids (broadcast — the centroid
+   * table is tiny), then answer each query by exact cosine search over only
+   * the `nProbe` clusters nearest the query. The scale path: cluster
+   * assignment is one broadcast-join pass (linear, no shuffle of the corpus
+   * beyond the final per-cluster grouping), and query cost is
+   * |corpus| * nProbe / nCentroids instead of |corpus|.
+   *
+   * Centroids are deterministic (the lowest-id vectors) — v1 skips k-means
+   * refinement; the recall/cost trade-off is controlled by nProbe.
+   */
+  def embedIvfTopK(e0: DataFrame, queries0: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val e = e0.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val queries = queries0.select(col("vec_id").as("qid"),
+      col("embedding").cast("array<double>").as("qe"))
+    val cents = e.orderBy(col("vec_id")).limit(nCentroids)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+    // corpus-side cluster assignment: argmax-cosine centroid per vector
+    val assigned = e.crossJoin(broadcast(cents))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cid"), col("emb")), cosine(col("emb"), col("cemb"))).as("a"))
+      .select(col("vec_id").as("nid"), col("a.cid").as("cluster"), col("a.emb").as("ne"))
+    // query-side probe list: nProbe nearest centroids per query
+    val wq = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("qe"), col("cemb")))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
+      .select(col("qid"), col("qe"), col("cid").as("cluster"))
+    // exact re-rank within probed clusters only
+    val cand = probes.join(assigned, "cluster")
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("sim_raw", cosine(col("qe"), col("ne")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim_raw").desc, col("nid"))
+    cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("qid"), col("nid"), round(col("sim_raw"), 4).as("sim"))
   }
 

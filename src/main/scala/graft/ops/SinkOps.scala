@@ -1,0 +1,96 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Sink/source roundtrips covering the reference's writer surface as
+ * Spark-native IO, each verified end-to-end (write, read back, aggregate —
+ * so content fidelity is part of the oracle check):
+ *
+ *  - CSVWriter (/root/reference/processors/csv_writer.go:16-69,
+ *    util/csv_writer.go:12-116): header + quote-escaping ("" doubling, the
+ *    reference's AlwaysEncapsulate-compatible form), deterministic
+ *    schema-ordered columns (the reference sorts keys, csv_writer.go:33-38).
+ *  - SQLWriterData dynamic table routing
+ *    (/root/reference/processors/sql_writer.go:30-37,52-61): one payload
+ *    stream fanned out to per-key destinations = partitioned write; reading
+ *    one partition back = the routed table.
+ *  - IoReader gzip + line-by-line (/root/reference/processors/io_reader.go:
+ *    26-30,47-54): gzip-compressed text lines, decoded transparently by the
+ *    Hadoop codec on read.
+ *
+ * All writes go to a fresh temp dir; inputs come only from the shared
+ * testdata tables.
+ */
+object SinkOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CSV write -> read roundtrip; aggregates prove the text survived quoting.
+    "q_csv_roundtrip" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft-csv").toString
+      docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
+        .write.mode("overwrite")
+        .option("header", "true").option("quote", "\"").option("escape", "\"")
+        .csv(out)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("text", StringType)))
+      s.read.schema(schema)
+        .option("header", "true").option("quote", "\"").option("escape", "\"")
+        .option("multiLine", "true")
+        .csv(out)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(length(col("text"))).as("chars"),
+          countDistinct(md5(col("text"))).as("n_distinct_texts"))
+    }),
+
+    // Dynamic sink routing: partition the stream by its routing key on write,
+    // read the routed store back, per-destination row counts.
+    "q_route_partitioned" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft-route").toString
+      events(s, dir).write.mode("overwrite")
+        .partitionBy("event_type").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), max(col("event_id")).as("max_id"))
+    }),
+
+    // Gzipped line-oriented IO: encode rows as text lines, gzip on write,
+    // transparent decode on read, parse, aggregate.
+    "q_gzip_lines" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft-gz").toString
+      docs(s, dir)
+        .select(concat_ws("|", col("doc_id"), md5(col("text"))).as("value"))
+        .write.mode("overwrite")
+        .option("compression", "gzip").text(out)
+      s.read.text(out)
+        .select(split(col("value"), "\\|").as("f"))
+        .select(element_at(col("f"), 1).cast(LongType).as("doc_id"),
+          element_at(col("f"), 2).as("fp"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("doc_id")).as("id_sum"),
+          countDistinct(col("fp")).as("n_fps"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_csv_roundtrip" ->
+      """SELECT count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         CAST(sum(length(text)) AS BIGINT) AS chars,
+         count(DISTINCT md5(text)) AS n_distinct_texts FROM documents""",
+    "q_route_partitioned" ->
+      """SELECT event_type, count(*) AS n, max(event_id) AS max_id
+         FROM events GROUP BY event_type""",
+    "q_gzip_lines" ->
+      """SELECT count(*) AS n_lines, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         count(DISTINCT md5(text)) AS n_fps FROM documents""")
+}

@@ -84,6 +84,35 @@ class OpsSpec extends AnyFunSuite {
     assert(bfHits == 80, s"brute force must find every twin, got $bfHits/80")
   }
 
+  test("IVF ANN recovers planted near-duplicate vectors; probes < full scan") {
+    val dim = 32
+    def vec(seed: Int): Array[Double] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(dim)(r.nextGaussian())
+    }
+    val rows = (0 until 40).flatMap { i =>
+      val base = vec(i)
+      val near = base.map(_ + 0.01 * (i % 3 + 1))
+      Seq((i.toLong * 2, base.map(_.toFloat)), (i.toLong * 2 + 1, near.map(_.toFloat)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    // probing half the clusters must recover most twins (twin pairs have
+    // cosine ~0.999, so they land in the same coarse cluster)
+    val top1 = SimilarityOps.embedIvfTopK(df, df, k = 1, nCentroids = 8, nProbe = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = (0 until 80).count { id =>
+      val twin = if (id % 2 == 0) id + 1 else id - 1
+      top1.get(id.toLong).contains(twin.toLong)
+    }
+    assert(hits >= 64, s"IVF recall too low: $hits/80")
+    // full probe == brute force exactly (nProbe = nCentroids degenerates)
+    val full = SimilarityOps.embedIvfTopK(df, df, k = 1, nCentroids = 8, nProbe = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bf = SimilarityOps.bruteForceTopK(df, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == bf, "full-probe IVF must equal brute force")
+  }
+
   test("multimodal: batched decode plumbing is deterministic and type-safe") {
     import Multimodal._
     val rows = (0 until 150).map(i =>
