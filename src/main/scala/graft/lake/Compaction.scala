@@ -59,18 +59,10 @@ object Compaction {
       .sortWithinPartitions((keyCols.map(col) :+ col(LakeTable.LsnCol)): _*)
       .write.mode("overwrite").parquet(outDir)
 
-    val k1 = keyCols.head
-    val newFiles = spark.read.schema(schema).parquet(outDir)
-      .groupBy(input_file_name().as("path"))
-      .agg(count(lit(1)).as("rows"),
-        min(col(k1).cast("string")).as("minKey"),
-        max(col(k1).cast("string")).as("maxKey"),
-        min(col(LakeTable.LsnCol)).as("minLsn"),
-        max(col(LakeTable.LsnCol)).as("maxLsn"))
-      .collect()
-      .map(r => DataFile(r.getString(0), r.getLong(1), r.getString(2),
-        r.getString(3), r.getLong(4), r.getLong(5), newVersion))
-      .toList
+    val newFiles = graft.merge.FileStats
+      .fromFooters(spark, outDir, keyCols.head, newVersion)
+      .getOrElse(graft.merge.FileStats.fromScan(spark, outDir, schema,
+        keyCols.head, newVersion))
 
     table.commit(Snapshot(newVersion, snap.version, snap.schemaJson,
       big ++ newFiles, snap.epochs))

@@ -152,11 +152,11 @@ final class LakeTable(val dir: String) {
   /** Current table contents (tombstones filtered, metadata cols dropped). */
   def read(spark: SparkSession): DataFrame = readAt(spark, currentVersion)
 
-  /** Per-epoch merge metrics table (throughput/lineage surface; one row per
-    * committed epoch — see MergeStats). Empty DataFrame before first merge. */
+  /** Per-epoch merge metrics table (throughput/lineage surface; one JSON-line
+    * row per committed epoch — see MergeStats). Empty before first merge. */
   def metrics(spark: SparkSession): DataFrame = {
     val p = Paths.get(dir, "_metrics")
-    if (Files.isDirectory(p)) spark.read.parquet(p.toString)
+    if (Files.isDirectory(p)) spark.read.json(p.toString)
     else spark.emptyDataFrame
   }
 

@@ -1,9 +1,8 @@
 package graft.merge
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.storage.StorageLevel
 
 import graft.lake.{DataFile, LakeTable, SchemaMerge, Snapshot}
 
@@ -49,11 +48,16 @@ final case class MergeOptions(
     opCol: String = "op",
     deleteOp: String = "D",
     saltBuckets: Int = 16,
+    /** salted pre-reduce engages when one first-key exceeds this many rows */
+    saltRowThreshold: Long = 2000000L,
     targetRowsPerFile: Long = 500000L,
     /** parallelism floor only applies while files stay above this size */
     minRowsPerFile: Long = 10000L,
-    /** max #distinct first-key values collected to the driver for pruning */
-    collectKeysLimit: Int = 100000)
+    /** max #distinct first-key values collected to the driver for pruning.
+      * Above it, pruning falls back to min/max range intersection: a batch
+      * touching that many keys almost certainly intersects every file anyway,
+      * and the driver-side collect becomes the epoch's serial bottleneck. */
+    collectKeysLimit: Int = 20000)
 
 final case class MergeStats(
     ckptId: String,
@@ -63,6 +67,7 @@ final case class MergeStats(
     batchMinLsn: Long,
     batchMaxLsn: Long,
     outputRows: Long,
+    /** delete events in this batch (tombstone writes) — telemetry only */
     tombstones: Long,
     filesRewritten: Int,
     filesPruned: Int,
@@ -110,17 +115,45 @@ object MergeInto {
       else when(isDelete, lit(null).cast(f.dataType))
         .otherwise(col(f.name).cast(f.dataType)).as(f.name)
     }
+    // NOT persisted: bNorm is a cheap scan+project recomputed by each of the
+    // few jobs below; building a columnar cache of it costs multiples of the
+    // recompute (measured) and is a serial, cores-insensitive fixed cost.
     val bNorm = batch.select(payloadExprs ++ Seq(
       col(opts.lsnCol).cast(LongType).as(LsnCol),
       isDelete.as(DeletedCol)): _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    try {
-      val Array(bRows, bMinLsn, bMaxLsn) = {
-        val r = bNorm.agg(count(lit(1)), min(col(LsnCol)), max(col(LsnCol))).head()
-        Array(r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
-          if (r.isNullAt(2)) -1L else r.getLong(2))
-      }
+    {
+      // --- ONE stats pass: per-key counts + lsn bounds + delete count -------
+      // Yields (a) the batch-level stats, (b) the exact key set for manifest
+      // file pruning, (c) the skew signal that decides whether the arg-max
+      // needs a salted pre-reduce.
+      val k1 = keyCols.head
+      val k1IsString = bNorm.schema(k1).dataType == StringType
+      val keyRows = bNorm.groupBy(col(k1)).agg(
+        count(lit(1)).as("n"), min(col(LsnCol)).as("mn"), max(col(LsnCol)).as("mx"),
+        sum(when(col(DeletedCol), 1L).otherwise(0L)).as("d"))
+        .limit(opts.collectKeysLimit + 1).collect()
+      val overLimit = keyRows.length > opts.collectKeysLimit
+
+      val (bRows, bMinLsn, bMaxLsn, bDeletes, keySet, maxKeyCount) =
+        if (!overLimit) {
+          val ks =
+            if (k1IsString && keyRows.forall(!_.isNullAt(0)))
+              Some(keyRows.map(_.getString(0)).sorted)
+            else None
+          (keyRows.map(_.getLong(1)).sum,
+            if (keyRows.isEmpty) -1L else keyRows.map(_.getLong(2)).min,
+            if (keyRows.isEmpty) -1L else keyRows.map(_.getLong(3)).max,
+            keyRows.map(_.getLong(4)).sum,
+            ks,
+            if (keyRows.isEmpty) 0L else keyRows.map(_.getLong(1)).max)
+        } else {
+          // too many keys for exact pruning: one global pass instead
+          val r = bNorm.agg(count(lit(1)), min(col(LsnCol)), max(col(LsnCol)),
+            sum(when(col(DeletedCol), 1L).otherwise(0L))).head()
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            None: Option[Array[String]], Long.MaxValue)
+        }
 
       if (bRows == 0) {
         val next = snap.copy(version = snap.version + 1, parentVersion = snap.version,
@@ -131,16 +164,19 @@ object MergeInto {
       }
 
       // --- file pruning against manifest key bounds -------------------------
-      val (touched, untouched) = pruneFiles(snap, bNorm, keyCols.head, opts)
+      val (touched, untouched) = pruneFiles(spark, snap, bNorm, k1, keySet, opts)
 
-      // --- union + salted two-phase arg-max ---------------------------------
+      // --- union + arg-max (salted pre-reduce only under real skew: partial
+      // hash aggregation already combines hot keys map-side, so the second
+      // aggregation level only pays off when one key dominates the batch) ----
       val target =
         if (touched.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             storedSchema)
         else
           spark.read.schema(storedSchema).parquet(touched.map(_.path): _*)
-      val resolved = resolveMaxLsn(target.unionByName(bNorm), keyCols, opts.saltBuckets)
+      val salt = if (maxKeyCount > opts.saltRowThreshold) opts.saltBuckets else 1
+      val resolved = resolveMaxLsn(target.unionByName(bNorm), keyCols, salt)
 
       // --- copy-on-write write, range-partitioned on the key ---------------
       val newVersion = snap.version + 1
@@ -156,91 +192,101 @@ object MergeInto {
         estRows / opts.minRowsPerFile)
       val nOut = math.max(1L, math.max(bySize, byPar)).toInt
       val sortCols = keyCols.map(col) :+ col(LsnCol)
+      // repartitionByRange runs a sampling job over `resolved` before the
+      // write job; the double compute of this short pipeline is cheaper than
+      // caching it (columnar cache build was the measured bottleneck).
       resolved
         .repartitionByRange(nOut, keyCols.map(col): _*)
         .sortWithinPartitions(sortCols: _*)
         .write.mode("overwrite").parquet(outDir)
 
-      // --- per-file stats (reads only key + meta columns) -------------------
-      val k1 = keyCols.head
-      val fileRows = spark.read.schema(storedSchema).parquet(outDir)
-        .groupBy(input_file_name().as("path"))
-        .agg(count(lit(1)).as("rows"),
-          min(col(k1).cast(StringType)).as("minKey"),
-          max(col(k1).cast(StringType)).as("maxKey"),
-          min(col(LsnCol)).as("minLsn"),
-          max(col(LsnCol)).as("maxLsn"),
-          sum(when(col(DeletedCol), 1L).otherwise(0L)).as("tombstones"))
-        .collect()
-      val newFiles = fileRows.map(r => DataFile(r.getString(0), r.getLong(1),
-        r.getString(2), r.getString(3), r.getLong(4), r.getLong(5), newVersion)).toList
+      // --- per-file stats from parquet footers (driver-side, no re-scan) ----
+      val newFiles = FileStats.fromFooters(spark, outDir, keyCols.head, newVersion)
+        .getOrElse(FileStats.fromScan(spark, outDir, storedSchema, keyCols.head, newVersion))
       val outputRows = newFiles.map(_.rows).sum + untouched.map(_.rows).sum
-      val tombstones = fileRows.map(_.getLong(6)).sum
 
       val next = Snapshot(newVersion, snap.version, storedSchema.json,
         untouched ++ newFiles, snap.epochs :+ epochKey)
       table.commit(next)
 
       val stats = MergeStats(ckptId, epochId, newVersion, bRows, bMinLsn, bMaxLsn,
-        outputRows, tombstones, touched.size, untouched.size, newFiles.size,
+        outputRows, bDeletes, touched.size, untouched.size, newFiles.size,
         millisSince(t0), noop = false)
       writeMetrics(spark, table, stats)
       stats
-    } finally bNorm.unpersist()
-  }
-
-  /**
-   * Salted two-phase arg-max: per (key, salt) partial reduce, then per key.
-   * Associativity of max-by-lsn makes the two-phase split exact; hash
-   * aggregation gives map-side combine on top, so even a key holding 20% of
-   * the batch never funnels its raw rows into one reducer.
-   */
-  def resolveMaxLsn(union: DataFrame, keyCols: Seq[String], saltBuckets: Int): DataFrame = {
-    val all = union.columns.toSeq
-    val ev = struct(all.map(col): _*)
-    if (saltBuckets <= 1) {
-      union.groupBy(keyCols.map(col): _*)
-        .agg(max_by(ev, col(LsnCol)).as("_e"))
-        .select(all.map(c => col(s"_e.$c").as(c)): _*)
-    } else {
-      val salted = union
-        .groupBy((keyCols.map(col) :+ pmod(xxhash64(col(LsnCol)), lit(saltBuckets)).as("_salt")): _*)
-        .agg(max_by(ev, col(LsnCol)).as("_e"))
-      salted.groupBy(keyCols.map(col): _*)
-        .agg(max_by(col("_e"), col(s"_e.$LsnCol")).as("_e"))
-        .select(all.map(c => col(s"_e.$c").as(c)): _*)
     }
   }
 
-  /** Split manifest files into (touched, untouched) by first-key bounds. */
+  /**
+   * Arg-max fold, optionally salted (two-phase: per (key, salt) pre-reduce,
+   * then per key — exact because max-by-lsn is associative; engaged only
+   * under real skew, see `merge`).
+   *
+   * Uses the native `max_row_by_long` TypedImperativeAggregate rather than
+   * built-in `max_by`: max_by's immutable buffer types force SortAggregate
+   * (a per-partition sort of every row on both sides of the shuffle), while
+   * the native aggregate runs in ObjectHashAggregateExec with map-side
+   * partial combine. Set `useNative = false` to fall back to max_by (kept
+   * for A/B benchmarking and as the all-built-ins path).
+   */
+  def resolveMaxLsn(union: DataFrame, keyCols: Seq[String], saltBuckets: Int,
+      useNative: Boolean = true): DataFrame = {
+    val all = union.columns.toSeq
+    def bt(c: String) = s"`$c`"
+    val ev = struct(all.map(col): _*)
+    val argMax: (Column, Column) => Column =
+      if (useNative) {
+        graft.functions.GraftFunctions.register(union.sparkSession)
+        (v, o) => call_function(graft.functions.GraftFunctions.MaxRowByLongName, v, o)
+      } else {
+        (v, o) => max_by(v, o)
+      }
+    if (saltBuckets <= 1) {
+      union.groupBy(keyCols.map(col): _*)
+        .agg(argMax(ev, col(LsnCol)).as("_e"))
+        .select(all.map(c => col(s"_e.${bt(c)}").as(c)): _*)
+    } else {
+      val salted = union
+        .groupBy((keyCols.map(col) :+ pmod(xxhash64(col(LsnCol)), lit(saltBuckets)).as("_salt")): _*)
+        .agg(argMax(ev, col(LsnCol)).as("_e"))
+      salted.groupBy(keyCols.map(col): _*)
+        .agg(argMax(col("_e"), col(s"_e.$LsnCol")).as("_e"))
+        .select(all.map(c => col(s"_e.${bt(c)}").as(c)): _*)
+    }
+  }
+
+  /**
+   * Split manifest files into (touched, untouched) by first-key bounds.
+   * `keySet` is the batch's exact sorted key set when known (collected in the
+   * single stats pass); without it (non-string key, nulls, or over the
+   * collect limit) falls back to min/max range intersection.
+   */
   private def pruneFiles(
+      spark: SparkSession,
       snap: Snapshot,
       bNorm: DataFrame,
       firstKey: String,
+      keySet: Option[Array[String]],
       opts: MergeOptions): (List[DataFile], List[DataFile]) = {
     if (snap.files.isEmpty) return (Nil, Nil)
-    val stringKey = bNorm.schema(firstKey).dataType == StringType
-    if (!stringKey) return (snap.files, Nil) // lexical bounds unsafe: rewrite all
-
-    val distinctKeys = bNorm.select(col(firstKey)).distinct()
-      .limit(opts.collectKeysLimit + 1).collect().map(_.getString(0))
-    if (distinctKeys.length > opts.collectKeysLimit) {
-      // too many keys for exact pruning: fall back to range intersection
-      val r = bNorm.agg(min(col(firstKey)), max(col(firstKey))).head()
-      val (lo, hi) = (r.getString(0), r.getString(1))
-      snap.files.partition(f => f.maxKey >= lo && f.minKey <= hi)
-    } else {
-      val sorted = distinctKeys.sorted
-      def intersects(f: DataFile): Boolean = {
-        // lowest key >= minKey; touched iff it also <= maxKey
-        var lo = 0; var hi = sorted.length
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          if (sorted(mid) < f.minKey) lo = mid + 1 else hi = mid
+    keySet match {
+      case Some(sorted) =>
+        def intersects(f: DataFile): Boolean = {
+          // lowest batch key >= file.minKey; touched iff it also <= maxKey
+          var lo = 0; var hi = sorted.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (sorted(mid) < f.minKey) lo = mid + 1 else hi = mid
+          }
+          lo < sorted.length && sorted(lo) <= f.maxKey
         }
-        lo < sorted.length && sorted(lo) <= f.maxKey
-      }
-      snap.files.partition(intersects)
+        snap.files.partition(intersects)
+      case None if bNorm.schema(firstKey).dataType == StringType =>
+        val r = bNorm.agg(min(col(firstKey)), max(col(firstKey))).head()
+        val (lo, hi) = (r.getString(0), r.getString(1))
+        snap.files.partition(f => f.maxKey >= lo && f.minKey <= hi)
+      case None =>
+        (snap.files, Nil) // lexical bounds unsafe for non-string keys
     }
   }
 
@@ -249,8 +295,18 @@ object MergeInto {
 
   private def millisSince(t0: Long): Long = (System.nanoTime() - t0) / 1000000L
 
+  /** One JSON line per epoch, written driver-side: a Spark job for a 1-row
+    * append costs ~0.5s of serial time per epoch, which at small-epoch sizes
+    * dominates; a file create is microseconds. Read back via
+    * `LakeTable.metrics` (spark.read.json over the directory). */
   private def writeMetrics(spark: SparkSession, table: LakeTable, s: MergeStats): Unit = {
-    import spark.implicits._
-    Seq(s).toDS().write.mode("append").parquet(s"${table.dir}/_metrics")
+    import org.json4s.DefaultFormats
+    import org.json4s.jackson.Serialization
+    val dir = java.nio.file.Paths.get(table.dir, "_metrics")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(
+      dir.resolve(f"epoch-${s.ckptId}-${s.epochId}%010d.json"),
+      Serialization.write(s)(DefaultFormats).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
   }
 }

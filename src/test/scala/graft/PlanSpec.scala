@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.merge.MergeInto
+import graft.ops.{CdcQueries, RelationalOps}
+
+/**
+ * Physical-plan assertions: the properties the 100-TB story depends on must
+ * be visible in the plan, not assumed — filter/projection pushdown into the
+ * parquet scan, broadcast of dimension sides, hash (not sort) aggregation
+ * for the CDC fold, and a single shuffle for the unsalted arg-max.
+ */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  test("q_agg_pushdown: filter and projection reach the parquet scan") {
+    val p = plan(RelationalOps.queries("q_agg_pushdown")(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
+      s"filter not pushed to scan:\n$p")
+    // projection pruning: scan must not read the unused wide columns
+    assert(p.contains("ReadSchema") && !p.contains("l_comment"),
+      s"column pruning failed (l_comment read):\n$p")
+  }
+
+  test("q_join_enrich: dimension side is broadcast, not shuffled") {
+    val p = plan(RelationalOps.queries("q_join_enrich")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("q_latest_by_key: CDC fold partial-aggregates map-side before the shuffle") {
+    // built-in max_by carries string buffers => SortAggregate (hash agg
+    // impossible); what matters at scale is that the partial aggregate sits
+    // below the exchange so hot keys combine map-side.
+    val p = plan(CdcQueries.queries("q_latest_by_key")(spark, sf))
+    val exIdx = p.indexOf("Exchange")
+    val partialIdx = p.indexOf("partial_max")
+    assert(exIdx >= 0 && partialIdx > exIdx,
+      s"no map-side partial aggregation under the shuffle:\n$p")
+  }
+
+  test("unsalted arg-max resolution costs exactly one shuffle") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id").cast("string").as("conv_id"),
+        lit(0).as("turn_idx"), col("event_id").as("_lsn"), col("value"))
+    val resolved = MergeInto.resolveMaxLsn(df, Seq("conv_id", "turn_idx"), 1)
+    val exchanges = "Exchange".r.findAllIn(plan(resolved)).size
+    assert(exchanges == 1, s"expected 1 shuffle, saw $exchanges:\n${plan(resolved)}")
+    // salted variant adds exactly one more (the pre-reduce)
+    val salted = MergeInto.resolveMaxLsn(df, Seq("conv_id", "turn_idx"), 16)
+    val saltedEx = "Exchange".r.findAllIn(plan(salted)).size
+    assert(saltedEx == 2, s"expected 2 shuffles for salted, saw $saltedEx")
+  }
+}
