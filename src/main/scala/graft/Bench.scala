@@ -109,6 +109,31 @@ object Bench {
       val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
       val (epsLo, calibLo) = ingestEps(coresLo, s"$work/wal", work, p, reps)
       val (epsHi, calibHi) = ingestEps(cpus, s"$work/wal", work, p, reps)
+
+      // Correctness gate on the throughput number: the final table of the
+      // last hi-width run must equal an independent one-shot batch arg-max
+      // fold over the same WAL (count + content checksum). A pipeline that
+      // drops events (e.g. watermark outrunning unread files) must fail here
+      // rather than post a fast-but-wrong events/sec.
+      val verified = {
+        val s = session(cpus, None)
+        try {
+          import org.apache.spark.sql.functions._
+          val wal = s.read.schema(graft.model.Schemas.changeV2)
+            .option("recursiveFileLookup", "true").parquet(s"$work/wal")
+          val expected = graft.merge.MergeInto.resolveMaxLsn(
+            wal.withColumnRenamed("lsn", graft.lake.LakeTable.LsnCol),
+            Seq("conv_id", "turn_idx"), saltBuckets = 1)
+            .filter(col("op") =!= "D")
+          val table = graft.lake.LakeTable.load(s"$work/table$cpus-$reps").read(s)
+          def sig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+            val r = df.agg(count(lit(1)),
+              sum(xxhash64(col("conv_id"), col("turn_idx"), col("text")))).head()
+            (r.getLong(0), r.getLong(1))
+          }
+          sig(expected) == sig(table)
+        } finally s.stop()
+      }
       val widthFactor = cpus.toDouble / coresLo
       val eff = (epsHi / epsLo) / widthFactor
       // what this host actually delivers for a perfectly parallel CPU job at
@@ -120,7 +145,7 @@ object Bench {
         .mkString("{", ",", "}")
       val total = results.map(_._2).sum
       println(
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest":{"events":$nEvents,"cores_lo":$coresLo,"events_per_sec_lo":$epsLo%.0f,"cores_hi":$cpus,"events_per_sec_hi":$epsHi%.0f,"scaling_efficiency":$eff%.3f,"cpu_calib_efficiency":$calibEff%.3f,"scaling_efficiency_hw_normalized":$effNorm%.3f}}""")
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest":{"events":$nEvents,"cores_lo":$coresLo,"events_per_sec_lo":$epsLo%.0f,"cores_hi":$cpus,"events_per_sec_hi":$epsHi%.0f,"scaling_efficiency":$eff%.3f,"cpu_calib_efficiency":$calibEff%.3f,"scaling_efficiency_hw_normalized":$effNorm%.3f,"final_state_verified":$verified}}""")
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)

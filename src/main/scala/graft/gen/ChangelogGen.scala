@@ -132,23 +132,19 @@ object ChangelogGen {
   /**
    * Write the changelog as an append-only WAL directory of parquet files.
    * Era-0 files (`era=0/`) use the v1 schema; era-1 files carry `tool_meta`.
-   * Returns (walDir, nFiles).
+   *
+   * A real binlog/WAL directory is created sequentially, so file modification
+   * times follow event order — and Spark's file streaming source picks files
+   * oldest-modTime-first. A naive distributed write loses that property (all
+   * part files land with the same clock second, in arbitrary order), which at
+   * scale lets the watermark jump ahead of unread files and the streaming
+   * dedup silently drop their events as too-late. We therefore (a) range-
+   * partition by wal_file so part-file index order == event order, and
+   * (b) stamp strictly increasing modTimes in that order.
    */
   def writeWal(spark: SparkSession, p: GenParams, walDir: String): Unit = {
-    import spark.implicits._
-    val ev = events(spark, p)
-      .map { case (f, e) => WalRow(f, e.op, e.lsn, e.conv_id, e.turn_idx, e.role,
-        e.text, e.tool, e.ts, e.tool_meta) }
-    val era0 = ev.filter(_.wal_file < p.evolveFile)
-    val era1 = ev.filter(_.wal_file >= p.evolveFile)
-    era0.repartition(p.evolveFile, $"wal_file")
-      .drop("wal_file", "tool_meta")
-      .write.mode(SaveMode.Overwrite).parquet(s"$walDir/era=0")
-    if (p.evolveFile < p.nFiles) {
-      era1.repartition(p.nFiles - p.evolveFile, $"wal_file")
-        .drop("wal_file")
-        .write.mode(SaveMode.Overwrite).parquet(s"$walDir/era=1")
-    }
+    writeWalEra0(spark, p, walDir)
+    writeWalEra1(spark, p, walDir)
   }
 
   /** Only write era-0 files (for checkpoint-resume tests: run, then append era 1). */
@@ -158,9 +154,11 @@ object ChangelogGen {
       .map { case (f, e) => WalRow(f, e.op, e.lsn, e.conv_id, e.turn_idx, e.role,
         e.text, e.tool, e.ts, e.tool_meta) }
       .filter(_.wal_file < p.evolveFile)
-      .repartition(p.evolveFile, $"wal_file")
+      .repartitionByRange(p.evolveFile, $"wal_file")
+      .sortWithinPartitions($"wal_file", $"lsn")
       .drop("wal_file", "tool_meta")
       .write.mode(SaveMode.Overwrite).parquet(s"$walDir/era=0")
+    stampModTimes(s"$walDir/era=0", globalOffset = 0)
   }
 
   def writeWalEra1(spark: SparkSession, p: GenParams, walDir: String): Unit = {
@@ -170,9 +168,26 @@ object ChangelogGen {
         .map { case (f, e) => WalRow(f, e.op, e.lsn, e.conv_id, e.turn_idx, e.role,
           e.text, e.tool, e.ts, e.tool_meta) }
         .filter(_.wal_file >= p.evolveFile)
-        .repartition(p.nFiles - p.evolveFile, $"wal_file")
+        .repartitionByRange(p.nFiles - p.evolveFile, $"wal_file")
+        .sortWithinPartitions($"wal_file", $"lsn")
         .drop("wal_file")
         .write.mode(SaveMode.Overwrite).parquet(s"$walDir/era=1")
+      stampModTimes(s"$walDir/era=1", globalOffset = p.evolveFile)
+    }
+  }
+
+  /** Fixed base well in the past so appended eras always sort after by index. */
+  private val ModTimeBase = 1600000000000L
+
+  /** part-NNNNN file index -> modTime = base + (offset + NNNNN) seconds. */
+  private def stampModTimes(dir: String, globalOffset: Int): Unit = {
+    val d = new java.io.File(dir)
+    val parts = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+    parts.foreach { f =>
+      val idx = f.getName.stripPrefix("part-").takeWhile(_.isDigit).toInt
+      val ok = f.setLastModified(ModTimeBase + (globalOffset + idx) * 1000L)
+      require(ok, s"failed to set modTime on $f")
     }
   }
 

@@ -49,4 +49,29 @@ class GenSpec extends AnyFunSuite {
     val local = (0L until p.nEvents).map(ChangelogGen.emittedRow(p, _)).sortBy(r => (r._2.lsn, r._1))
     assert(dist == local)
   }
+
+  test("WAL file modification times follow event-time order (binlog contract)") {
+    // the file streaming source consumes oldest-modTime first; if modTimes
+    // didn't track event order, the watermark could outrun unread files and
+    // the streaming dedup would drop their events as too-late
+    val spark = TestSpark.spark
+    val wal = TestSpark.tmpDir("gen-wal-order")
+    ChangelogGen.writeWal(spark, p, wal)
+    val files = new java.io.File(wal).listFiles().flatMap(_.listFiles())
+      .filter(f => f.getName.startsWith("part-") && f.length > 0)
+    assert(files.length > 2)
+    val byModTime = files.sortBy(_.lastModified)
+    assert(byModTime.map(_.lastModified).distinct.length == files.length,
+      "modTimes must be strictly increasing (distinct)")
+    // min event-ts per file must be non-decreasing in modTime order, within
+    // the generator's bounded lateness
+    val minTs = byModTime.map { f =>
+      spark.read.parquet(f.getAbsolutePath)
+        .agg(org.apache.spark.sql.functions.min("ts")).head().getTimestamp(0).getTime
+    }
+    val slackMs = (p.maxLateEvents.toLong + p.eventsPerFile) * 1000L
+    minTs.sliding(2).foreach { case Array(a, b) =>
+      assert(b >= a - slackMs, s"event time regressed beyond lateness bound: $a -> $b")
+    }
+  }
 }
