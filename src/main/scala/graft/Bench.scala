@@ -126,12 +126,17 @@ object Bench {
             Seq("conv_id", "turn_idx"), saltBuckets = 1)
             .filter(col("op") =!= "D")
           val table = graft.lake.LakeTable.load(s"$work/table$cpus-$reps").read(s)
+          // bit_xor: order-independent content signature, no ANSI overflow
           def sig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
             val r = df.agg(count(lit(1)),
-              sum(xxhash64(col("conv_id"), col("turn_idx"), col("text")))).head()
+              bit_xor(xxhash64(col("conv_id"), col("turn_idx"), col("text")))).head()
             (r.getLong(0), r.getLong(1))
           }
           sig(expected) == sig(table)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] verification failed: $e")
+            false
         } finally s.stop()
       }
       val widthFactor = cpus.toDouble / coresLo

@@ -118,6 +118,26 @@ object CdcQueries {
     "q_json_extract" -> ((s, dir) => {
       events(s, dir).groupBy(col("event_type")).agg(
         sum(get_json_object(col("props"), "$.k").cast("long")).as("k_sum"))
+    }),
+
+    // Dynamic correlated scan: the reference's DynamicSQLReader generates a
+    // query per incoming payload (/root/reference/processors/sql_reader.go:
+    // 40-43,55-66, doc.go:87-110 multi-DB "join"). Here: an upstream result
+    // (top-3 hot keys) drives per-key generated scans, fanned back in by
+    // union. (At scale one would express this as a semi-join; this preserves
+    // the reference's driver-side query-templating API shape.)
+    "q_dynamic_scan" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val hotKeys = ev.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("user_id")).limit(3)
+        .collect().map(_.getLong(0))
+      hotKeys.map { k =>
+        ev.filter(col("user_id") === k) // the generated per-payload query
+          .withColumn("gen_for", lit(k))
+      }.reduce(_.unionByName(_))
+        .groupBy(col("gen_for"))
+        .agg(count(lit(1)).as("n"), max(col("event_id")).as("max_id"),
+          round(sum(col("value")), 3).as("value_sum"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -174,5 +194,13 @@ object CdcQueries {
     "q_json_extract" ->
       """SELECT event_type,
          CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
-         FROM events GROUP BY event_type""")
+         FROM events GROUP BY event_type""",
+    "q_dynamic_scan" ->
+      """SELECT user_id AS gen_for, count(*) AS n, max(event_id) AS max_id,
+                round(sum(value), 3) AS value_sum
+         FROM events
+         WHERE user_id IN (SELECT user_id FROM (
+           SELECT user_id, count(*) AS cnt FROM events
+           GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 3))
+         GROUP BY user_id""")
 }
