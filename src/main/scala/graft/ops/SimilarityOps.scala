@@ -47,14 +47,49 @@ object SimilarityOps {
       i => concat_ws(" ", element_at(tokens, i), element_at(tokens, i + 1),
         element_at(tokens, i + 2))))
 
+  /**
+   * doc_id -> exploded shingles, cached: the shingle-construction expression
+   * (tokenize + 3-gram transform) costs ~2s/1k docs per evaluation and every
+   * consumer (df computation, candidate generation, size counts, verification)
+   * re-evaluates it otherwise — here recompute is expensive and the exploded
+   * output is narrow, the opposite trade-off from the merge path's no-persist
+   * rule. Left cached for the session (LRU-evicted; queries are one-shot).
+   */
+  private def explodedShingles(d: DataFrame): DataFrame =
+    // two-step projection: materialize the token array as a column FIRST.
+    // Referencing the tokenizer expression inside the shingle lambda would
+    // re-run the whole regexp extraction per element access — O(tokens^2)
+    // regex work per document (measured 3-4x the entire query's time).
+    d.select(col("doc_id"), toks.as("_tk"))
+      .select(col("doc_id"), explode(shingles(col("_tk"))).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** doc_id -> exploded rare shingles (df-capped) + per-doc sizes */
   private def rareShingleSets(d: DataFrame, dfCap: Int): (DataFrame, DataFrame) = {
-    val ex = d.select(col("doc_id"), explode(shingles(toks)).as("s"))
+    val ex = explodedShingles(d)
     val rare = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select(col("s"))
     val fx = ex.join(rare, "s")
     val sz = fx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     (fx, sz)
+  }
+
+  /**
+   * Ordered (a < b) pairs within each group of a grouped-ids frame: the
+   * scale-correct replacement for a self-join on the grouping key. One
+   * shuffle (the groupBy) instead of joining the exploded table against
+   * itself; output volume is sum(group_size^2)/2 either way, but bounded
+   * here by the df-cap/band-bucket size.
+   */
+  private def pairsWithinGroups(ex: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val grouped = ex.groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    grouped.select(explode(flatten(transform(col("ids"), (x, i) =>
+      transform(
+        slice(col("ids"), i + lit(2), size(col("ids"))),
+        y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
   }
 
   /** sequential-fold dot product (bit-identical to DuckDB's loop) */
@@ -68,9 +103,8 @@ object SimilarityOps {
     // Exact n-gram Jaccard near-dup pairs with rare-shingle candidate pruning.
     "q_ngram_jaccard" -> ((s, dir) => {
       val (fx, sz) = rareShingleSets(docs(s, dir), dfCap = 25)
-      val pairs = fx.as("a").join(fx.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val pairs = pairsWithinGroups(fx, Seq("s"))
+        .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("common"))
       val jac = col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))
       pairs
@@ -147,7 +181,7 @@ object SimilarityOps {
   /** MinHash signatures + banded LSH + exact-Jaccard verification. */
   def minhashPairs(d: DataFrame, threshold: Double, numPerms: Int = 32,
       bands: Int = 16, dfCap: Int = 25): DataFrame = {
-    val ex = d.select(col("doc_id"), explode(shingles(toks)).as("s"))
+    val ex = explodedShingles(d)
     // 32 min-hashes: min over shingles of xxhash64(shingle, perm-seed)
     val sigCols = (0 until numPerms).map(j =>
       min(xxhash64(col("s"), lit(j))).as(s"h$j"))
@@ -160,11 +194,7 @@ object SimilarityOps {
     }
     val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-    val cands = buckets.as("a").join(buckets.as("b"),
-      col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val cands = pairsWithinGroups(buckets, Seq("band", "sig")).distinct()
     // verify candidates with exact Jaccard — but only over docs that appear
     // in some candidate pair (left_semi pruning), so verification cost scales
     // with the near-dup population, not the corpus: the whole point of LSH.
@@ -172,9 +202,8 @@ object SimilarityOps {
       .union(cands.select(col("doc_b").as("doc_id"))).distinct()
     val exCand = ex.join(candDocs, Seq("doc_id"), "left_semi")
     val sz = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = exCand.as("x").join(exCand.as("y"),
-      col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val common = pairsWithinGroups(exCand, Seq("s"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
     val jac = col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))
     cands.join(common, Seq("doc_a", "doc_b"))
