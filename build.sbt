@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
+  // measured ~1.5x ingest throughput over G1 at 32-wide local mode
+  // (shuffle/agg allocation churn; confirmed in both run orders)
+  "-XX:+UseParallelGC",
 )
