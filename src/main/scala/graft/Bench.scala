@@ -48,37 +48,34 @@ object Bench {
   }
 
   /**
-   * Ingest `p`'s WAL at `cores`: best events/sec over `reps` fresh runs
-   * (the sandbox is a shared VM — single runs carry up to ~1.5x noise from
-   * host CPU steal; best-of-k estimates the uncontended rate). Also returns
-   * the calibration seconds: a pure-CPU Spark job at the same width, used to
-   * normalize for the host throttling parallel width (see BASELINE.md).
+   * One ingest of `p`'s WAL at `cores` (fresh table + checkpoint), returning
+   * (events/sec, calibration seconds). The calibration is a warm pure-CPU
+   * Spark job at the same width run in the same session, used to normalize
+   * for the shared VM throttling parallel width (see BASELINE.md).
    */
-  private def ingestEps(cores: Int, walDir: String, work: String, p: GenParams,
-      reps: Int): (Double, Double) = {
-    val spark = session(cores, Some(s"$work/local$cores"))
+  private def ingestOnce(cores: Int, walDir: String, work: String, p: GenParams,
+      rep: Int): (Double, Double) = {
+    val spark = session(cores, Some(s"$work/local$cores-$rep"))
     try {
-      // ~2M-row epochs: big enough that parallel compute dominates per-epoch
-      // fixed costs, small enough to dodge the dedup-state per-batch peak
+      // ~4M-row epochs: with event-time-ordered WAL files (watermark eviction
+      // works) this is the sweet spot — parallel compute dominates per-epoch
+      // fixed costs and dedup state stays bounded by the batch span
       val trigger = math.max(1, math.min(p.nFiles,
-        (2000000L / math.max(1L, p.eventsPerFile)).toInt))
-      val eps = (1 to reps).map { i =>
-        val t0 = System.nanoTime()
-        CdcIngestJob.runAvailableNow(spark,
-          IngestConfig(walDir, s"$work/table$cores-$i", s"$work/ckpt$cores-$i",
-            maxFilesPerTrigger = Some(trigger)))
-        p.nEvents.toDouble / ((System.nanoTime() - t0) / 1e9)
-      }.max
+        (4000000L / math.max(1L, p.eventsPerFile)).toInt))
+      val t0 = System.nanoTime()
+      CdcIngestJob.runAvailableNow(spark,
+        IngestConfig(walDir, s"$work/table$cores-$rep", s"$work/ckpt$cores-$rep",
+          maxFilesPerTrigger = Some(trigger)))
+      val eps = p.nEvents.toDouble / ((System.nanoTime() - t0) / 1e9)
       // warm pure-CPU calibration (second run, after codegen warmup)
       def cpuRun(): Double = {
-        val t0 = System.nanoTime()
+        val t0c = System.nanoTime()
         spark.range(0, 4000000000L, 1, cores * 4)
           .selectExpr("sum(id % 1000003)").head()
-        (System.nanoTime() - t0) / 1e9
+        (System.nanoTime() - t0c) / 1e9
       }
       cpuRun()
-      val calib = cpuRun()
-      (eps, calib)
+      (eps, cpuRun())
     } finally spark.stop()
   }
 
@@ -106,9 +103,21 @@ object Bench {
     spark.stop()
 
     try {
+      // Interleaved (lo, hi) pairs so both widths of a pair see the same
+      // contention window; the reported pair is the one measured in the
+      // quietest window (highest calibration efficiency) — closest to what
+      // dedicated N vs 4N hardware would show. Host steal varies minute to
+      // minute by up to ~2x, so un-paired lo/hi runs routinely compare a
+      // quiet window against a noisy one.
       val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-      val (epsLo, calibLo) = ingestEps(coresLo, s"$work/wal", work, p, reps)
-      val (epsHi, calibHi) = ingestEps(cpus, s"$work/wal", work, p, reps)
+      val pairs = (1 to reps).map { i =>
+        val (el, cl) = ingestOnce(coresLo, s"$work/wal", work, p, i)
+        val (eh, ch) = ingestOnce(cpus, s"$work/wal", work, p, i)
+        (el, cl, eh, ch)
+      }
+      val widthRatio = cpus.toDouble / coresLo
+      val (epsLo, calibLo, epsHi, calibHi) =
+        pairs.maxBy { case (_, cl, _, ch) => (cl / ch) / widthRatio }
 
       // Correctness gate on the throughput number: the final table of the
       // last hi-width run must equal an independent one-shot batch arg-max
@@ -126,6 +135,7 @@ object Bench {
             Seq("conv_id", "turn_idx"), saltBuckets = 1)
             .filter(col("op") =!= "D")
           val table = graft.lake.LakeTable.load(s"$work/table$cpus-$reps").read(s)
+          // (every rep writes the same logical state; checking the last)
           // bit_xor: order-independent content signature, no ANSI overflow
           def sig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
             val r = df.agg(count(lit(1)),
@@ -139,11 +149,10 @@ object Bench {
             false
         } finally s.stop()
       }
-      val widthFactor = cpus.toDouble / coresLo
-      val eff = (epsHi / epsLo) / widthFactor
+      val eff = (epsHi / epsLo) / widthRatio
       // what this host actually delivers for a perfectly parallel CPU job at
       // the two widths: < 1.0 because the shared VM throttles wide loads
-      val calibEff = (calibLo / calibHi) / widthFactor
+      val calibEff = (calibLo / calibHi) / widthRatio
       val effNorm = math.min(1.0, eff / calibEff)
 
       val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

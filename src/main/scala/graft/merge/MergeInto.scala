@@ -123,37 +123,35 @@ object MergeInto {
       isDelete.as(DeletedCol)): _*)
 
     {
-      // --- ONE stats pass: per-key counts + lsn bounds + delete count -------
-      // Yields (a) the batch-level stats, (b) the exact key set for manifest
-      // file pruning, (c) the skew signal that decides whether the arg-max
-      // needs a salted pre-reduce.
+      // --- batch stats -------------------------------------------------------
+      // Pass 1 (always, global): row count, lsn bounds, delete count, approx
+      // key cardinality. Pass 2 (only when the key set is small enough to be
+      // useful): exact per-key counts collected for manifest file pruning and
+      // the skew signal. A batch touching more than collectKeysLimit keys
+      // intersects virtually every file anyway, so the keyed pass (a full
+      // hash aggregate + a large driver collect) would be pure overhead.
       val k1 = keyCols.head
       val k1IsString = bNorm.schema(k1).dataType == StringType
-      val keyRows = bNorm.groupBy(col(k1)).agg(
-        count(lit(1)).as("n"), min(col(LsnCol)).as("mn"), max(col(LsnCol)).as("mx"),
-        sum(when(col(DeletedCol), 1L).otherwise(0L)).as("d"))
-        .limit(opts.collectKeysLimit + 1).collect()
-      val overLimit = keyRows.length > opts.collectKeysLimit
-
-      val (bRows, bMinLsn, bMaxLsn, bDeletes, keySet, maxKeyCount) =
-        if (!overLimit) {
-          val ks =
-            if (k1IsString && keyRows.forall(!_.isNullAt(0)))
-              Some(keyRows.map(_.getString(0)).sorted)
-            else None
-          (keyRows.map(_.getLong(1)).sum,
-            if (keyRows.isEmpty) -1L else keyRows.map(_.getLong(2)).min,
-            if (keyRows.isEmpty) -1L else keyRows.map(_.getLong(3)).max,
-            keyRows.map(_.getLong(4)).sum,
-            ks,
-            if (keyRows.isEmpty) 0L else keyRows.map(_.getLong(1)).max)
-        } else {
-          // too many keys for exact pruning: one global pass instead
-          val r = bNorm.agg(count(lit(1)), min(col(LsnCol)), max(col(LsnCol)),
-            sum(when(col(DeletedCol), 1L).otherwise(0L))).head()
-          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-            None: Option[Array[String]], Long.MaxValue)
-        }
+      val (bRows, bMinLsn, bMaxLsn, bDeletes, approxKeys) = {
+        val r = bNorm.agg(count(lit(1)), min(col(LsnCol)), max(col(LsnCol)),
+          sum(when(col(DeletedCol), 1L).otherwise(0L)),
+          approx_count_distinct(col(k1))).head()
+        (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) 0L else r.getLong(3), r.getLong(4))
+      }
+      // 0.8 margin: approx_count_distinct has ~2-5% error
+      val (keySet, maxKeyCount) =
+        if (k1IsString && bRows > 0 &&
+            approxKeys <= (opts.collectKeysLimit * 0.8).toLong) {
+          val keyRows = bNorm.groupBy(col(k1)).agg(count(lit(1)).as("n"))
+            .limit(opts.collectKeysLimit + 1).collect()
+          if (keyRows.length > opts.collectKeysLimit || keyRows.exists(_.isNullAt(0)))
+            (None: Option[Array[String]], bRows) // bRows = upper bound on any key
+          else
+            (Some(keyRows.map(_.getString(0)).sorted),
+              if (keyRows.isEmpty) 0L else keyRows.map(_.getLong(1)).max)
+        } else (None: Option[Array[String]], bRows)
 
       if (bRows == 0) {
         val next = snap.copy(version = snap.version + 1, parentVersion = snap.version,

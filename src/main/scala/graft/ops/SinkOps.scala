@@ -65,6 +65,18 @@ object SinkOps {
         .agg(count(lit(1)).as("n"), max(col("event_id")).as("max_id"))
     }),
 
+    // Opaque whole-file reads (IoReader buffered/chunked mode,
+    // /root/reference/processors/io_reader.go:56-69; FileReader whole-file
+    // payloads, file_reader.go:22-26): the binaryFile source yields
+    // (path, length, bytes) rows — the multimodal ingestion entry point.
+    "q_binary_file_source" -> ((s, dir) => {
+      s.read.format("binaryFile").load(s"$dir/documents.parquet")
+        .select(
+          element_at(split(col("path"), "/"), -1).as("file"),
+          col("length"),
+          md5(col("content")).as("checksum"))
+    }),
+
     // Gzipped line-oriented IO: encode rows as text lines, gzip on write,
     // transparent decode on read, parse, aggregate.
     "q_gzip_lines" -> ((s, dir) => {
