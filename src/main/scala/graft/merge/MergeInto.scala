@@ -73,6 +73,13 @@ final case class MergeStats(
     filesPruned: Int,
     filesAdded: Int,
     wallMs: Long,
+    /** phase breakdown (ms): batch stats pass, key collect, CoW write incl.
+      * range sampling, footer stats, snapshot commit */
+    statsMs: Long,
+    keysMs: Long,
+    writeMs: Long,
+    footerMs: Long,
+    commitMs: Long,
     noop: Boolean)
 
 object MergeInto {
@@ -96,7 +103,7 @@ object MergeInto {
     if (snap.epochs.contains(epochKey)) {
       // exactly-once: replayed epoch is a no-op
       return MergeStats(ckptId, epochId, snap.version, 0, -1, -1, 0, 0, 0,
-        snap.files.size, 0, 0, noop = true)
+        snap.files.size, 0, 0, 0, 0, 0, 0, 0, noop = true)
     }
 
     val keyCols = opts.keyCols
@@ -132,14 +139,21 @@ object MergeInto {
       // hash aggregate + a large driver collect) would be pure overhead.
       val k1 = keyCols.head
       val k1IsString = bNorm.schema(k1).dataType == StringType
-      val (bRows, bMinLsn, bMaxLsn, bDeletes, approxKeys) = {
+      val tStats = System.nanoTime()
+      val (bRows, bMinLsn, bMaxLsn, bDeletes, approxKeys, keyLo, keyHi) = {
+        val kAsString = col(k1).cast(StringType)
         val r = bNorm.agg(count(lit(1)), min(col(LsnCol)), max(col(LsnCol)),
           sum(when(col(DeletedCol), 1L).otherwise(0L)),
-          approx_count_distinct(col(k1))).head()
+          approx_count_distinct(col(k1)),
+          min(kAsString), max(kAsString)).head()
         (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
           if (r.isNullAt(2)) -1L else r.getLong(2),
-          if (r.isNullAt(3)) 0L else r.getLong(3), r.getLong(4))
+          if (r.isNullAt(3)) 0L else r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) null else r.getString(5),
+          if (r.isNullAt(6)) null else r.getString(6))
       }
+      val statsMs = millisSince(tStats)
+      val tKeys = System.nanoTime()
       // 0.8 margin: approx_count_distinct has ~2-5% error
       val (keySet, maxKeyCount) =
         if (k1IsString && bRows > 0 &&
@@ -152,17 +166,20 @@ object MergeInto {
             (Some(keyRows.map(_.getString(0)).sorted),
               if (keyRows.isEmpty) 0L else keyRows.map(_.getLong(1)).max)
         } else (None: Option[Array[String]], bRows)
+      val keysMs = millisSince(tKeys)
 
       if (bRows == 0) {
         val next = snap.copy(version = snap.version + 1, parentVersion = snap.version,
           epochs = snap.epochs :+ epochKey)
         table.commit(next)
         return MergeStats(ckptId, epochId, next.version, 0, -1, -1, 0, 0, 0,
-          snap.files.size, 0, millisSince(t0), noop = false)
+          snap.files.size, 0, millisSince(t0), statsMs, keysMs, 0, 0, 0,
+          noop = false)
       }
 
       // --- file pruning against manifest key bounds -------------------------
-      val (touched, untouched) = pruneFiles(spark, snap, bNorm, k1, keySet, opts)
+      val (touched, untouched) =
+        pruneFiles(snap, k1IsString, keySet, keyLo, keyHi)
 
       // --- union + arg-max (salted pre-reduce only under real skew: partial
       // hash aggregation already combines hot keys map-side, so the second
@@ -193,23 +210,30 @@ object MergeInto {
       // repartitionByRange runs a sampling job over `resolved` before the
       // write job; the double compute of this short pipeline is cheaper than
       // caching it (columnar cache build was the measured bottleneck).
+      val tWrite = System.nanoTime()
       resolved
         .repartitionByRange(nOut, keyCols.map(col): _*)
         .sortWithinPartitions(sortCols: _*)
         .write.mode("overwrite").parquet(outDir)
+      val writeMs = millisSince(tWrite)
 
       // --- per-file stats from parquet footers (driver-side, no re-scan) ----
+      val tFooter = System.nanoTime()
       val newFiles = FileStats.fromFooters(spark, outDir, keyCols.head, newVersion)
         .getOrElse(FileStats.fromScan(spark, outDir, storedSchema, keyCols.head, newVersion))
       val outputRows = newFiles.map(_.rows).sum + untouched.map(_.rows).sum
+      val footerMs = millisSince(tFooter)
 
+      val tCommit = System.nanoTime()
       val next = Snapshot(newVersion, snap.version, storedSchema.json,
         untouched ++ newFiles, snap.epochs :+ epochKey)
       table.commit(next)
+      val commitMs = millisSince(tCommit)
 
       val stats = MergeStats(ckptId, epochId, newVersion, bRows, bMinLsn, bMaxLsn,
         outputRows, bDeletes, touched.size, untouched.size, newFiles.size,
-        millisSince(t0), noop = false)
+        millisSince(t0), statsMs, keysMs, writeMs, footerMs, commitMs,
+        noop = false)
       writeMetrics(spark, table, stats)
       stats
     }
@@ -256,16 +280,16 @@ object MergeInto {
   /**
    * Split manifest files into (touched, untouched) by first-key bounds.
    * `keySet` is the batch's exact sorted key set when known (collected in the
-   * single stats pass); without it (non-string key, nulls, or over the
-   * collect limit) falls back to min/max range intersection.
+   * stats pass); otherwise falls back to (keyLo, keyHi) range intersection
+   * (also from the stats pass — no extra scan). Non-string keys rewrite all
+   * (lexical bounds unsafe).
    */
   private def pruneFiles(
-      spark: SparkSession,
       snap: Snapshot,
-      bNorm: DataFrame,
-      firstKey: String,
+      k1IsString: Boolean,
       keySet: Option[Array[String]],
-      opts: MergeOptions): (List[DataFile], List[DataFile]) = {
+      keyLo: String,
+      keyHi: String): (List[DataFile], List[DataFile]) = {
     if (snap.files.isEmpty) return (Nil, Nil)
     keySet match {
       case Some(sorted) =>
@@ -279,10 +303,8 @@ object MergeInto {
           lo < sorted.length && sorted(lo) <= f.maxKey
         }
         snap.files.partition(intersects)
-      case None if bNorm.schema(firstKey).dataType == StringType =>
-        val r = bNorm.agg(min(col(firstKey)), max(col(firstKey))).head()
-        val (lo, hi) = (r.getString(0), r.getString(1))
-        snap.files.partition(f => f.maxKey >= lo && f.minKey <= hi)
+      case None if k1IsString && keyLo != null && keyHi != null =>
+        snap.files.partition(f => f.maxKey >= keyLo && f.minKey <= keyHi)
       case None =>
         (snap.files, Nil) // lexical bounds unsafe for non-string keys
     }

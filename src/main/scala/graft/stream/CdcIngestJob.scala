@@ -54,6 +54,12 @@ final case class IngestConfig(
     /** streaming lsn-dedup on/off (merge is idempotent either way) */
     streamDedup: Boolean = true,
     maxFilesPerTrigger: Option[Int] = None,
+    /** read-partition size for batch scans. The default 128 MiB packs small
+      * WAL files into a handful of read partitions, capping every epoch's
+      * map side (stats pass, dedup shuffle write, merge scan) at that
+      * parallelism no matter how many cores exist — measured as THE scaling
+      * bottleneck. 16 MiB keeps typical binlog segments one-per-task. */
+    maxPartitionBytes: Option[Long] = Some(16L * 1024 * 1024),
     mergeOptions: MergeOptions = MergeOptions())
 
 object CdcIngestJob {
@@ -72,6 +78,8 @@ object CdcIngestJob {
   def start(spark: SparkSession, cfg: IngestConfig, trigger: Trigger): StreamingQuery = {
     if (!LakeTable.exists(cfg.tableDir))
       LakeTable.create(cfg.tableDir, payloadSchema(cfg.schema))
+    cfg.maxPartitionBytes.foreach(b =>
+      spark.conf.set("spark.sql.files.maxPartitionBytes", b))
     val id = ckptId(cfg.checkpointDir)
 
     var src = spark.readStream
@@ -90,7 +98,15 @@ object CdcIngestJob {
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val table = LakeTable.load(cfg.tableDir)
-        MergeInto.merge(batch.sparkSession, table, batch, id, epochId, cfg.mergeOptions)
+        // Materialize the micro-batch ONCE: the merge runs several jobs over
+        // it, and each would otherwise re-execute the batch plan through the
+        // stateful dedup operator (re-loading state stores per job).
+        // localCheckpoint stores plain RDD blocks — cheap to build, unlike a
+        // columnar cache — at the cost of lineage (fine: on executor loss the
+        // query fails and restarts from the checkpoint, where the epoch
+        // ledger makes the replay exactly-once).
+        val mat = if (cfg.streamDedup) batch.localCheckpoint() else batch
+        MergeInto.merge(batch.sparkSession, table, mat, id, epochId, cfg.mergeOptions)
         ()
       }
       .trigger(trigger)
