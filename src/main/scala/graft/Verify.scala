@@ -34,7 +34,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // The driver keys its DuckDB gate by the result FILENAME (`<name>.parquet`,
+    // see CORRECTNESS_r01.json) — emit both the suffixed key (what the driver
+    // looks up) and the bare name (compat with any bare-keyed consumer).
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(s"$k.parquet" -> v, k -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -34,6 +34,10 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # oracle_sql.json is dual-keyed (bare name + <name>.parquet, same SQL);
+    # normalize to the suffixed file-name key and dedup.
+    oracles = {(k if k.endswith(".parquet") else k + ".parquet"): v
+               for k, v in oracles.items()}
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
