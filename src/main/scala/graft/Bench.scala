@@ -87,10 +87,18 @@ object Bench {
 
     // --- part 1: operator query timings at full parallelism ----------------
     var spark = session(cpus, None)
+    // Warmup: absorb session startup + first-plan codegen so the
+    // alphabetically-first timed query doesn't carry ~5s of fixed cost.
+    try SparkEntry.entry(spark).count()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
+    // A query that throws must surface as an error, not time as a fast
+    // success — otherwise a regression can *improve* the bench.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable => Some(e.toString.take(200))
+      }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
 
     // --- part 2: scaling — same WAL ingested at N and 4N cores -------------
@@ -155,11 +163,17 @@ object Bench {
       val calibEff = (calibLo / calibHi) / widthRatio
       val effNorm = math.min(1.0, eff / calibEff)
 
-      val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
+        .mkString("{", ",", "}")
+      def jstr(s: String) = "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+      val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
         .mkString("{", ",", "}")
       val total = results.map(_._2).sum
       println(
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest":{"events":$nEvents,"cores_lo":$coresLo,"events_per_sec_lo":$epsLo%.0f,"cores_hi":$cpus,"events_per_sec_hi":$epsHi%.0f,"scaling_efficiency":$eff%.3f,"cpu_calib_efficiency":$calibEff%.3f,"scaling_efficiency_hw_normalized":$effNorm%.3f,"final_state_verified":$verified}}""")
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_errors":$errs,"sf":"$sfDir","ingest":{"events":$nEvents,"cores_lo":$coresLo,"events_per_sec_lo":$epsLo%.0f,"cores_hi":$cpus,"events_per_sec_hi":$epsHi%.0f,"scaling_efficiency":$eff%.3f,"cpu_calib_efficiency":$calibEff%.3f,"scaling_efficiency_hw_normalized":$effNorm%.3f,"final_state_verified":$verified}}""")
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)

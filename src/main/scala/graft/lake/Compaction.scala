@@ -4,21 +4,21 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /**
- * Small-file compaction: rewrite fragmented data files into
- * `targetRowsPerFile`-sized, key-range-partitioned files WITHOUT changing
- * logical table state (same rows, same tombstones, same schema).
+ * Table maintenance: small-file compaction and merge-on-read delta folding.
+ * Both rewrite data WITHOUT changing logical table state (same resolved rows,
+ * same tombstones, same schema), commit through the same atomic snapshot
+ * rename as merges, and preserve the epoch ledger — safe between epochs.
  *
- * Why it exists: every streaming epoch commits at least one file per touched
- * key range, so a long-running ingest accumulates many small files; scan cost
- * and manifest size then grow with epoch count, not data size. Compaction
- * restores O(data/targetRowsPerFile) files and re-tightens per-file key
- * bounds, keeping merge-time file pruning effective. (The reference has no
- * analogue — its sink is an external DB; this is the lake-format maintenance
- * op that role requires.)
+ * Why they exist: every streaming epoch commits at least one file per touched
+ * key range, so a long-running ingest accumulates many small files (CoW) or
+ * unresolved delta files (MoR); scan cost and read-time fold fan-in then grow
+ * with epoch count, not data size. (The reference has no analogue — its sink
+ * is an external DB; these are the lake-format maintenance ops that role
+ * requires.)
  *
- * Safe to run between epochs: it commits through the same atomic snapshot
- * rename as merges, and preserves the epoch ledger, so exactly-once
- * accounting is unaffected.
+ * The merge key comes from table metadata (Snapshot.keyCols), never from the
+ * caller — compacting on the wrong column would silently corrupt merge-time
+ * file pruning.
  */
 object CompactionStats {
   val empty: CompactionStats = CompactionStats(0, 0, 0, 0)
@@ -35,17 +35,19 @@ object Compaction {
    * Rewrite all files smaller than `smallFileRows` (plus nothing else) into
    * target-sized files. Files already at/above the threshold are carried over
    * untouched — compaction cost is proportional to the small-file tail, not
-   * table size.
+   * table size. Delta files are excluded (folding them changes row sets —
+   * that's `foldDeltas`' job).
    */
   def compact(
       spark: SparkSession,
       table: LakeTable,
-      keyCols: Seq[String] = Seq("conv_id", "turn_idx"),
       targetRowsPerFile: Long = 500000L,
       smallFileRows: Long = 250000L): CompactionStats = {
     val t0 = System.nanoTime()
     val snap = table.currentSnapshot
-    val (small, big) = snap.files.partition(_.rows < smallFileRows)
+    val keyCols = snap.keyCols
+    val all = table.files(snap)
+    val (small, _) = all.partition(f => !f.delta && f.rows < smallFileRows)
     if (small.size <= 1) return CompactionStats.empty
 
     val schema = snap.schema
@@ -59,14 +61,54 @@ object Compaction {
       .sortWithinPartitions((keyCols.map(col) :+ col(LakeTable.LsnCol)): _*)
       .write.mode("overwrite").parquet(outDir)
 
-    val newFiles = graft.merge.FileStats
-      .fromFooters(spark, outDir, keyCols.head, newVersion)
-      .getOrElse(graft.merge.FileStats.fromScan(spark, outDir, schema,
-        keyCols.head, newVersion))
-
-    table.commit(Snapshot(newVersion, snap.version, snap.schemaJson,
-      big ++ newFiles, snap.epochs))
-    CompactionStats(snap.files.size, big.size + newFiles.size, rows,
+    val newFiles = writtenStats(spark, table, outDir, newVersion, delta = false)
+    table.commitChange(snap, snap.schemaJson, small.map(_.path).toSet, newFiles, None)
+    CompactionStats(all.size, all.size - small.size + newFiles.size, rows,
       (System.nanoTime() - t0) / 1000000L)
+  }
+
+  /**
+   * Merge-on-read maintenance: fold ALL files (base + deltas) into a resolved
+   * base — one max-lsn-wins pass with the same single-shuffle plan the merge
+   * uses, keeping tombstones (a late lower-lsn insert must still lose).
+   * Amortized via MergeOptions' ratio trigger: folding when deltas reach the
+   * base's size bounds total write amplification at O(log) rewrites per row.
+   */
+  def foldDeltas(
+      spark: SparkSession,
+      table: LakeTable,
+      targetRowsPerFile: Long = 500000L,
+      minRowsPerFile: Long = 10000L): CompactionStats = {
+    val t0 = System.nanoTime()
+    val snap = table.currentSnapshot
+    val all = table.files(snap)
+    if (!all.exists(_.delta)) return CompactionStats.empty
+    val schema = snap.schema
+    val estRows = all.map(_.rows).sum
+    val bySize = (estRows + targetRowsPerFile - 1) / targetRowsPerFile
+    val byPar = math.min(spark.sparkContext.defaultParallelism.toLong,
+      estRows / minRowsPerFile)
+    val nOut = math.max(1L, math.max(bySize, byPar)).toInt
+    val newVersion = snap.version + 1
+    val outDir = s"${table.dir}/data/v$newVersion"
+
+    graft.merge.MergeInto.resolveSortDedup(
+      spark.read.schema(schema).parquet(all.map(_.path): _*), snap.keyCols, nOut)
+      .write.mode("overwrite").parquet(outDir)
+
+    val newFiles = writtenStats(spark, table, outDir, newVersion, delta = false)
+    table.commitChange(snap, snap.schemaJson, all.map(_.path).toSet, newFiles, None)
+    CompactionStats(all.size, newFiles.size, estRows,
+      (System.nanoTime() - t0) / 1000000L)
+  }
+
+  private def writtenStats(spark: SparkSession, table: LakeTable, outDir: String,
+      version: Long, delta: Boolean): List[DataFile] = {
+    val snap = table.currentSnapshot
+    val k1 = snap.keyCols.head
+    val k1Type = snap.schema(k1).dataType
+    graft.merge.FileStats.fromFooters(spark, outDir, k1, k1Type, version, delta)
+      .getOrElse(graft.merge.FileStats.fromScan(spark, outDir, snap.schema, k1,
+        version, delta))
   }
 }

@@ -11,9 +11,10 @@ import org.json4s.{DefaultFormats, Formats}
 import org.json4s.jackson.Serialization
 
 /**
- * Minimal Iceberg-style lake table: an append-only log of JSON snapshots, each
- * listing immutable parquet data files with per-file key/lsn bounds, plus an
- * epoch ledger for exactly-once commits.
+ * Minimal Iceberg-style lake table: an append-only log of JSON snapshots,
+ * each pointing at immutable MANIFEST files that list immutable parquet data
+ * files with per-file key/lsn bounds, plus a per-checkpoint epoch
+ * high-watermark for exactly-once commits.
  *
  * This plays the role the destination SQL database plays for the reference's
  * SQLWriter upserts (/root/reference/processors/sql_writer.go:21-80,
@@ -22,10 +23,26 @@ import org.json4s.jackson.Serialization
  * (a replayed (checkpointId, epochId) commit is a no-op) and deterministic
  * (max-LSN-wins fold), so replay reproduces the final state bit-for-bit.
  *
+ * Metadata scaling (the 10^10-event story): a snapshot JSON holds O(1) state —
+ * schema, manifest NAMES, and one high-watermark per checkpoint — never the
+ * full file list or an epoch ledger that grows with history. A commit writes
+ * one manifest with the epoch's added files, carries clean manifests over by
+ * name, and rewrites only manifests that lost a file; when the manifest list
+ * itself grows past a threshold it is folded into one. So per-epoch commit
+ * cost is O(new files + dirty manifests), amortized O(new files), where the
+ * old design re-serialized O(all files + all epochs) JSON every epoch —
+ * cumulative O(epochs^2) driver time.
+ *
+ * Epoch watermark semantics: epoch ids within one checkpoint id must be
+ * applied in increasing order (Structured Streaming's contract for
+ * foreachBatch batchIds). An epoch <= the recorded watermark is a replay and
+ * must no-op.
+ *
  * Layout:
  *   dir/_snapshots/v{version%020d}.json   — snapshot log (atomic rename commit)
+ *   dir/_manifests/m{version}[-c].json    — immutable data-file lists
  *   dir/data/v{version}/part-*.parquet    — immutable data files
- *   dir/_metrics/                         — per-epoch merge metrics (parquet)
+ *   dir/_metrics/                         — per-epoch merge metrics (JSON lines)
  *
  * Stored schema = user payload columns + metadata columns:
  *   _lsn: long       — lsn of the change that produced this row version
@@ -38,21 +55,28 @@ import org.json4s.jackson.Serialization
 final case class DataFile(
     path: String,
     rows: Long,
+    /** first-key bounds in KeyCodec order-preserving encoding */
     minKey: String,
     maxKey: String,
     minLsn: Long,
     maxLsn: Long,
-    addedAtVersion: Long)
+    addedAtVersion: Long,
+    /** merge-on-read delta: unresolved change rows, folded at read/compaction */
+    delta: Boolean = false)
 
 final case class Snapshot(
     version: Long,
     parentVersion: Long,
     schemaJson: String,
-    files: List[DataFile],
-    /** exactly-once ledger: "ckptId:epochId" entries already applied */
-    epochs: List[String]) {
+    /** merge key columns, fixed at table creation — merges and compactions
+      * derive the key from here so manifest bounds can never be computed on
+      * the wrong column */
+    keyCols: List[String],
+    /** manifest file names under dir/_manifests (contents immutable) */
+    manifests: List[String],
+    /** exactly-once ledger: highest applied epochId per checkpointId */
+    epochHwm: Map[String, Long]) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-  def totalRows: Long = files.map(_.rows).sum
 }
 
 object LakeTable {
@@ -61,17 +85,29 @@ object LakeTable {
   val MetaCols: Seq[String] = Seq(LsnCol, DeletedCol)
   private implicit val fmts: Formats = DefaultFormats
 
+  /** fold the manifest list into one once it exceeds this */
+  private val ManifestCompactThreshold = 32
+
+  /** Manifest contents are immutable => a global cache is safe; cleared
+    * wholesale if it ever grows silly (compaction orphans old entries). */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, List[DataFile]]
+
   def metaFields: Seq[StructField] = Seq(
     StructField(LsnCol, LongType, nullable = true),
     StructField(DeletedCol, BooleanType, nullable = true))
 
-  /** Create an empty table with the given payload schema (no data files). */
-  def create(dir: String, payloadSchema: StructType): LakeTable = {
+  /** Create an empty table with the given payload schema and merge key. */
+  def create(dir: String, payloadSchema: StructType,
+      keyCols: Seq[String] = Seq("conv_id", "turn_idx")): LakeTable = {
+    require(keyCols.nonEmpty && keyCols.forall(payloadSchema.fieldNames.contains),
+      s"key columns $keyCols must exist in the payload schema")
     val t = new LakeTable(dir)
     Files.createDirectories(Paths.get(dir, "_snapshots"))
+    Files.createDirectories(Paths.get(dir, "_manifests"))
     Files.createDirectories(Paths.get(dir, "data"))
     val stored = StructType(payloadSchema.fields.toSeq ++ metaFields)
-    t.commit(Snapshot(0L, -1L, stored.json, Nil, Nil))
+    t.commit(Snapshot(0L, -1L, stored.json, keyCols.toList, Nil, Map.empty))
     t
   }
 
@@ -88,6 +124,7 @@ final class LakeTable(val dir: String) {
   private implicit val fmts: Formats = DefaultFormats
 
   private def snapDir = Paths.get(dir, "_snapshots")
+  private def manifestDir = Paths.get(dir, "_manifests")
 
   private def versionOf(name: String): Long =
     name.stripPrefix("v").stripSuffix(".json").toLong
@@ -115,7 +152,68 @@ final class LakeTable(val dir: String) {
     StructType(storedSchema.fields.filterNot(f => MetaCols.contains(f.name)))
 
   def hasEpoch(ckptId: String, epochId: Long): Boolean =
-    currentSnapshot.epochs.contains(s"$ckptId:$epochId")
+    currentSnapshot.epochHwm.get(ckptId).exists(_ >= epochId)
+
+  /** All data files of a snapshot (reads manifests; cached — contents are
+    * immutable, so repeated epochs only hit disk for NEW manifests). */
+  def files(snap: Snapshot): List[DataFile] =
+    snap.manifests.flatMap(readManifest)
+
+  def currentFiles: List[DataFile] = files(currentSnapshot)
+
+  private def readManifest(name: String): List[DataFile] = {
+    if (manifestCache.size > 256) manifestCache.clear()
+    manifestCache.computeIfAbsent(manifestDir.resolve(name).toString, p =>
+      Serialization.read[List[DataFile]](
+        new String(Files.readAllBytes(Paths.get(p)), StandardCharsets.UTF_8))(
+        fmts, manifest[List[DataFile]]))
+  }
+
+  private def writeManifest(name: String, files: List[DataFile]): Unit = {
+    val p = manifestDir.resolve(name)
+    Files.write(p, Serialization.write(files)(fmts).getBytes(StandardCharsets.UTF_8))
+    manifestCache.put(p.toString, files)
+    ()
+  }
+
+  /**
+   * Build + atomically commit the next snapshot from a change set:
+   * `removedPaths` leave the table (rewritten by CoW merge / compaction),
+   * `added` enter it, `epoch` advances the exactly-once watermark.
+   * Clean manifests carry over by name; dirty ones are rewritten without
+   * their removed files; added files get one new manifest. Returns the
+   * committed snapshot.
+   */
+  def commitChange(
+      base: Snapshot,
+      schemaJson: String,
+      removedPaths: Set[String],
+      added: List[DataFile],
+      epoch: Option[(String, Long)]): Snapshot = {
+    val version = base.version + 1
+    val (clean, dirty) =
+      if (removedPaths.isEmpty) (base.manifests, Nil)
+      else base.manifests.partition(m => !readManifest(m).exists(f => removedPaths(f.path)))
+    val survivors = dirty.flatMap(readManifest).filterNot(f => removedPaths(f.path))
+    val newFiles = survivors ++ added
+    var manifests = clean
+    if (newFiles.nonEmpty) {
+      val name = f"m$version%020d.json"
+      writeManifest(name, newFiles)
+      manifests = clean :+ name
+    }
+    if (manifests.size > ManifestCompactThreshold) {
+      val name = f"m$version%020d-c.json"
+      writeManifest(name, manifests.flatMap(readManifest))
+      manifests = List(name)
+    }
+    val hwm = epoch.fold(base.epochHwm) { case (ck, e) =>
+      base.epochHwm.updated(ck, math.max(e, base.epochHwm.getOrElse(ck, Long.MinValue)))
+    }
+    val next = Snapshot(version, base.version, schemaJson, base.keyCols, manifests, hwm)
+    commit(next)
+    next
+  }
 
   /**
    * Atomic commit: write-temp-then-rename of the next snapshot file. Fails if
@@ -137,13 +235,14 @@ final class LakeTable(val dir: String) {
   /** Raw stored rows (incl. tombstones + metadata cols) at a snapshot. */
   def readRaw(spark: SparkSession, snap: Snapshot): DataFrame = {
     val schema = snap.schema
-    if (snap.files.isEmpty) {
+    val fs = files(snap)
+    if (fs.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     } else {
       // Explicit schema (not inferred) => files written before a column was
       // added read as null for that column — add-column schema evolution
       // without rewriting history.
-      spark.read.schema(schema).parquet(snap.files.map(_.path): _*)
+      spark.read.schema(schema).parquet(fs.map(_.path): _*)
     }
   }
 
@@ -165,7 +264,14 @@ final class LakeTable(val dir: String) {
     import org.apache.spark.sql.functions.{col, not, coalesce, lit}
     val snap = snapshot(version)
     val payloadCols = snap.schema.fieldNames.filterNot(MetaCols.contains).map(col).toSeq
-    readRaw(spark, snap)
+    val raw = readRaw(spark, snap)
+    // merge-on-read: unresolved delta rows fold by max-lsn before the
+    // tombstone filter; pure-base snapshots skip the fold (already resolved)
+    val resolved =
+      if (files(snap).exists(_.delta))
+        graft.merge.MergeInto.resolveMaxLsn(raw, snap.keyCols, saltBuckets = 1)
+      else raw
+    resolved
       .filter(not(coalesce(col(DeletedCol), lit(false))))
       .select(payloadCols: _*)
   }

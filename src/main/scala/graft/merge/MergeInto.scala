@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.lake.{DataFile, LakeTable, SchemaMerge, Snapshot}
+import graft.lake.{Compaction, DataFile, KeyCodec, LakeTable, SchemaMerge, Snapshot}
 
 /**
  * Key-partitioned MERGE INTO (copy-on-write upsert) — the Spark-native
@@ -57,7 +57,56 @@ final case class MergeOptions(
       * Above it, pruning falls back to min/max range intersection: a batch
       * touching that many keys almost certainly intersects every file anyway,
       * and the driver-side collect becomes the epoch's serial bottleneck. */
-    collectKeysLimit: Int = 20000)
+    collectKeysLimit: Int = 20000,
+    /** Conflict-resolution plan shape:
+      *  - [[ResolveStrategy.SortDedup]] (default): ONE shuffle — range-
+      *    partition the raw union on the key, sort within partitions by
+      *    (key, lsn desc), keep row_number()==1. The range partitioning
+      *    satisfies the window's ClusteredDistribution so no second
+      *    exchange appears; the write needs no extra repartition since the
+      *    data is already range-placed and sorted.
+      *  - [[ResolveStrategy.Agg]]: hash arg-max aggregate (map-side partial
+      *    combine) followed by a range repartition for the write — TWO
+      *    shuffles, plus the sampling job re-executes the aggregate unless
+      *    `checkpointResolved` is set. Wins only when batches carry many
+      *    updates per key (combine collapses them map-side before the
+      *    shuffle). */
+    resolveStrategy: ResolveStrategy = ResolveStrategy.SortDedup,
+    /** Agg strategy only: localCheckpoint the resolved frame so the range
+      * sampling job reads materialized blocks instead of re-running the
+      * aggregate. Trades executor-loss recoverability (safe here: the epoch
+      * ledger makes a retried micro-batch idempotent) for halving the agg
+      * work. */
+    checkpointResolved: Boolean = true,
+    /** Write amplification mode.
+      *  - [[MergeMode.Cow]] (copy-on-write): touched base files are rewritten
+      *    each epoch. Reads are resolve-free; per-epoch write cost is
+      *    O(touched table data) — with uniformly distributed update keys that
+      *    is the WHOLE table per epoch, which at 100 TB is untenable.
+      *  - [[MergeMode.Mor]] (merge-on-read): the epoch writes ONLY the batch
+      *    (resolved within itself, range-placed, key-sorted) as delta files;
+      *    reads fold base+deltas by max-lsn; `Compaction.foldDeltas` (invoked
+      *    automatically past the thresholds below) folds deltas into the base.
+      *    Per-epoch write cost is O(batch) — the streaming-ingest default. */
+    mode: MergeMode = MergeMode.Cow,
+    /** MoR: fold deltas into base when delta rows exceed this multiple of
+      * base rows (amortizes compaction to O(total ingested), like LSM tiers) */
+    morCompactDeltaRatio: Double = 1.0,
+    /** MoR: ... or when delta file count alone exceeds this (bounds read fan-in
+      * even when the base is huge) */
+    morCompactMaxDeltaFiles: Int = 64)
+
+sealed trait ResolveStrategy
+object ResolveStrategy {
+  case object SortDedup extends ResolveStrategy
+  case object Agg extends ResolveStrategy
+}
+
+sealed trait MergeMode
+object MergeMode {
+  case object Cow extends MergeMode
+  case object Mor extends MergeMode
+}
 
 final case class MergeStats(
     ckptId: String,
@@ -99,14 +148,18 @@ object MergeInto {
       opts: MergeOptions = MergeOptions()): MergeStats = {
     val t0 = System.nanoTime()
     val snap = table.currentSnapshot
-    val epochKey = s"$ckptId:$epochId"
-    if (snap.epochs.contains(epochKey)) {
-      // exactly-once: replayed epoch is a no-op
+    if (snap.epochHwm.get(ckptId).exists(_ >= epochId)) {
+      // exactly-once: replayed epoch is a no-op (epoch ids per checkpoint are
+      // monotone — Structured Streaming's foreachBatch contract)
       return MergeStats(ckptId, epochId, snap.version, 0, -1, -1, 0, 0, 0,
-        snap.files.size, 0, 0, 0, 0, 0, 0, 0, noop = true)
+        table.files(snap).size, 0, 0, 0, 0, 0, 0, 0, noop = true)
     }
 
-    val keyCols = opts.keyCols
+    // the merge key lives in table metadata; a mismatched caller would
+    // compute manifest bounds on the wrong column and corrupt pruning
+    require(opts.keyCols == snap.keyCols,
+      s"merge key mismatch: table has ${snap.keyCols}, options say ${opts.keyCols}")
+    val keyCols = snap.keyCols
     val batchPayload = StructType(batch.schema.fields.filterNot(f =>
       f.name == opts.opCol || f.name == opts.lsnCol))
     val mergedPayload = SchemaMerge.merge(tablePayload(snap), batchPayload)
@@ -138,62 +191,56 @@ object MergeInto {
       // intersects virtually every file anyway, so the keyed pass (a full
       // hash aggregate + a large driver collect) would be pure overhead.
       val k1 = keyCols.head
-      val k1IsString = bNorm.schema(k1).dataType == StringType
+      val k1Type = bNorm.schema(k1).dataType
+      val prunable = KeyCodec.supports(k1Type)
       val tStats = System.nanoTime()
       val (bRows, bMinLsn, bMaxLsn, bDeletes, approxKeys, keyLo, keyHi) = {
-        val kAsString = col(k1).cast(StringType)
         val r = bNorm.agg(count(lit(1)), min(col(LsnCol)), max(col(LsnCol)),
           sum(when(col(DeletedCol), 1L).otherwise(0L)),
           approx_count_distinct(col(k1)),
-          min(kAsString), max(kAsString)).head()
+          min(col(k1)), max(col(k1))).head()
+        def enc(i: Int): String =
+          if (!prunable || r.isNullAt(i)) null else KeyCodec.encode(k1Type, r.get(i))
         (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
           if (r.isNullAt(2)) -1L else r.getLong(2),
           if (r.isNullAt(3)) 0L else r.getLong(3), r.getLong(4),
-          if (r.isNullAt(5)) null else r.getString(5),
-          if (r.isNullAt(6)) null else r.getString(6))
+          enc(5), enc(6))
       }
       val statsMs = millisSince(tStats)
       val tKeys = System.nanoTime()
-      // 0.8 margin: approx_count_distinct has ~2-5% error
+      // Exact key set (encoded) for pruning + skew signal. CoW only: MoR
+      // epochs never read the base, so the keyed pass would be pure overhead.
+      // 0.8 margin: approx_count_distinct has ~2-5% error.
       val (keySet, maxKeyCount) =
-        if (k1IsString && bRows > 0 &&
+        if (opts.mode == MergeMode.Cow && prunable && bRows > 0 &&
             approxKeys <= (opts.collectKeysLimit * 0.8).toLong) {
           val keyRows = bNorm.groupBy(col(k1)).agg(count(lit(1)).as("n"))
             .limit(opts.collectKeysLimit + 1).collect()
           if (keyRows.length > opts.collectKeysLimit || keyRows.exists(_.isNullAt(0)))
             (None: Option[Array[String]], bRows) // bRows = upper bound on any key
           else
-            (Some(keyRows.map(_.getString(0)).sorted),
+            (Some(keyRows.map(r => KeyCodec.encode(k1Type, r.get(0)))
+              .sorted(KeyCodec.ordering)),
               if (keyRows.isEmpty) 0L else keyRows.map(_.getLong(1)).max)
         } else (None: Option[Array[String]], bRows)
       val keysMs = millisSince(tKeys)
 
       if (bRows == 0) {
-        val next = snap.copy(version = snap.version + 1, parentVersion = snap.version,
-          epochs = snap.epochs :+ epochKey)
-        table.commit(next)
+        val next = table.commitChange(snap, snap.schemaJson, Set.empty, Nil,
+          Some((ckptId, epochId)))
         return MergeStats(ckptId, epochId, next.version, 0, -1, -1, 0, 0, 0,
-          snap.files.size, 0, millisSince(t0), statsMs, keysMs, 0, 0, 0,
+          table.files(snap).size, 0, millisSince(t0), statsMs, keysMs, 0, 0, 0,
           noop = false)
       }
 
-      // --- file pruning against manifest key bounds -------------------------
-      val (touched, untouched) =
-        pruneFiles(snap, k1IsString, keySet, keyLo, keyHi)
+      val allFiles = table.files(snap)
+      // --- file pruning against manifest key bounds (CoW reads the base;
+      // MoR touches nothing) --------------------------------------------------
+      val (touched, untouched) = opts.mode match {
+        case MergeMode.Mor => (Nil, allFiles)
+        case MergeMode.Cow => pruneFiles(allFiles, prunable, keySet, keyLo, keyHi)
+      }
 
-      // --- union + arg-max (salted pre-reduce only under real skew: partial
-      // hash aggregation already combines hot keys map-side, so the second
-      // aggregation level only pays off when one key dominates the batch) ----
-      val target =
-        if (touched.isEmpty)
-          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            storedSchema)
-        else
-          spark.read.schema(storedSchema).parquet(touched.map(_.path): _*)
-      val salt = if (maxKeyCount > opts.saltRowThreshold) opts.saltBuckets else 1
-      val resolved = resolveMaxLsn(target.unionByName(bNorm), keyCols, salt)
-
-      // --- copy-on-write write, range-partitioned on the key ---------------
       val newVersion = snap.version + 1
       val outDir = s"${table.dir}/data/v$newVersion"
       val estRows = touched.map(_.rows).sum + bRows
@@ -206,28 +253,63 @@ object MergeInto {
       val byPar = math.min(spark.sparkContext.defaultParallelism.toLong,
         estRows / opts.minRowsPerFile)
       val nOut = math.max(1L, math.max(bySize, byPar)).toInt
-      val sortCols = keyCols.map(col) :+ col(LsnCol)
-      // repartitionByRange runs a sampling job over `resolved` before the
-      // write job; the double compute of this short pipeline is cheaper than
-      // caching it (columnar cache build was the measured bottleneck).
+
       val tWrite = System.nanoTime()
-      resolved
-        .repartitionByRange(nOut, keyCols.map(col): _*)
-        .sortWithinPartitions(sortCols: _*)
-        .write.mode("overwrite").parquet(outDir)
+      val isDelta = opts.mode == MergeMode.Mor
+      val toWrite = opts.mode match {
+        case MergeMode.Mor =>
+          // merge-on-read: write ONLY the batch, resolved within itself
+          // (same one-shuffle plan; cross-epoch conflicts fold at read /
+          // compaction time). Range-placed + key-sorted so delta files carry
+          // tight bounds for read-side pruning and cheap compaction.
+          resolveSortDedup(bNorm, keyCols, nOut)
+        case MergeMode.Cow =>
+          val target =
+            if (touched.isEmpty)
+              spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                storedSchema)
+            else
+              spark.read.schema(storedSchema).parquet(touched.map(_.path): _*)
+          val union = target.unionByName(bNorm)
+          opts.resolveStrategy match {
+            case ResolveStrategy.SortDedup =>
+              // One shuffle: the range exchange both resolves conflicts
+              // (window over the in-partition sort) and places rows for tight
+              // per-file key bounds. The sampling job only re-runs the cheap
+              // scan+project union, never an aggregate.
+              resolveSortDedup(union, keyCols, nOut)
+            case ResolveStrategy.Agg =>
+              // Salted pre-reduce only under real skew: partial hash
+              // aggregation already combines hot keys map-side, so the second
+              // aggregation level only pays off when one key dominates.
+              val salt =
+                if (maxKeyCount > opts.saltRowThreshold) opts.saltBuckets else 1
+              val resolved0 = resolveMaxLsn(union, keyCols, salt)
+              // localCheckpoint (RDD blocks, NOT columnar cache — measured far
+              // cheaper) so repartitionByRange's sampling job doesn't
+              // re-execute the aggregate.
+              val resolved =
+                if (opts.checkpointResolved) resolved0.localCheckpoint()
+                else resolved0
+              resolved
+                .repartitionByRange(nOut, keyCols.map(col): _*)
+                .sortWithinPartitions(keyCols.map(col) :+ col(LsnCol): _*)
+          }
+      }
+      toWrite.write.mode("overwrite").parquet(outDir)
       val writeMs = millisSince(tWrite)
 
       // --- per-file stats from parquet footers (driver-side, no re-scan) ----
       val tFooter = System.nanoTime()
-      val newFiles = FileStats.fromFooters(spark, outDir, keyCols.head, newVersion)
-        .getOrElse(FileStats.fromScan(spark, outDir, storedSchema, keyCols.head, newVersion))
+      val newFiles = FileStats
+        .fromFooters(spark, outDir, k1, k1Type, newVersion, isDelta)
+        .getOrElse(FileStats.fromScan(spark, outDir, storedSchema, k1, newVersion, isDelta))
       val outputRows = newFiles.map(_.rows).sum + untouched.map(_.rows).sum
       val footerMs = millisSince(tFooter)
 
       val tCommit = System.nanoTime()
-      val next = Snapshot(newVersion, snap.version, storedSchema.json,
-        untouched ++ newFiles, snap.epochs :+ epochKey)
-      table.commit(next)
+      table.commitChange(snap, storedSchema.json, touched.map(_.path).toSet,
+        newFiles, Some((ckptId, epochId)))
       val commitMs = millisSince(tCommit)
 
       val stats = MergeStats(ckptId, epochId, newVersion, bRows, bMinLsn, bMaxLsn,
@@ -235,8 +317,45 @@ object MergeInto {
         millisSince(t0), statsMs, keysMs, writeMs, footerMs, commitMs,
         noop = false)
       writeMetrics(spark, table, stats)
+
+      // --- MoR delta maintenance: fold past the thresholds ------------------
+      if (isDelta) {
+        val afterFiles = untouched ++ newFiles
+        val (deltas, base) = afterFiles.partition(_.delta)
+        val deltaRows = deltas.map(_.rows).sum
+        val baseRows = base.map(_.rows).sum
+        if (deltas.size > opts.morCompactMaxDeltaFiles ||
+            deltaRows > (baseRows.max(1L) * opts.morCompactDeltaRatio))
+          Compaction.foldDeltas(spark, table, opts.targetRowsPerFile, opts.minRowsPerFile)
+      }
       stats
     }
+  }
+
+  /**
+   * Single-shuffle conflict resolution: range-partition on the key columns,
+   * sort within partitions by (key, lsn desc), keep the first row per key.
+   * RangePartitioning(keyCols) satisfies the window's
+   * ClusteredDistribution(keyCols) and the in-partition sort matches its
+   * required ordering, so EnsureRequirements inserts NO second exchange and
+   * NO extra sort — asserted in PlanSpec. Exact for max-lsn-wins because lsn
+   * is globally unique (no ties). Output is range-placed and key-sorted, so
+   * per-file bounds stay tight for manifest pruning.
+   *
+   * Skew note: the partitioning key is the FULL key tuple (conv_id,
+   * turn_idx), so a hot conv_id spreads over its turns, and the range
+   * sampler assigns hot key ranges more partitions; rows equal on the whole
+   * tuple are bounded by the per-key update count within one epoch.
+   */
+  def resolveSortDedup(union: DataFrame, keyCols: Seq[String], nOut: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kc = keyCols.map(col)
+    val win = Window.partitionBy(kc: _*).orderBy(col(LsnCol).desc)
+    union
+      .repartitionByRange(nOut, kc: _*)
+      .sortWithinPartitions(kc :+ col(LsnCol).desc: _*)
+      .withColumn("_rn", row_number().over(win))
+      .filter(col("_rn") === 1).drop("_rn")
   }
 
   /**
@@ -278,35 +397,38 @@ object MergeInto {
   }
 
   /**
-   * Split manifest files into (touched, untouched) by first-key bounds.
-   * `keySet` is the batch's exact sorted key set when known (collected in the
-   * stats pass); otherwise falls back to (keyLo, keyHi) range intersection
-   * (also from the stats pass — no extra scan). Non-string keys rewrite all
-   * (lexical bounds unsafe).
+   * Split manifest files into (touched, untouched) by first-key bounds, all
+   * in KeyCodec's single (UTF-8 byte / numeric) ordering. `keySet` is the
+   * batch's exact sorted ENCODED key set when known (collected in the stats
+   * pass); otherwise falls back to (keyLo, keyHi) range intersection (also
+   * from the stats pass — no extra scan). Files with null bounds (unsupported
+   * key type at write time) are always touched.
    */
   private def pruneFiles(
-      snap: Snapshot,
-      k1IsString: Boolean,
+      files: List[DataFile],
+      prunable: Boolean,
       keySet: Option[Array[String]],
       keyLo: String,
       keyHi: String): (List[DataFile], List[DataFile]) = {
-    if (snap.files.isEmpty) return (Nil, Nil)
+    if (files.isEmpty) return (Nil, Nil)
+    def unknownBounds(f: DataFile) = f.minKey == null || f.maxKey == null
     keySet match {
       case Some(sorted) =>
-        def intersects(f: DataFile): Boolean = {
+        def intersects(f: DataFile): Boolean = unknownBounds(f) || {
           // lowest batch key >= file.minKey; touched iff it also <= maxKey
           var lo = 0; var hi = sorted.length
           while (lo < hi) {
             val mid = (lo + hi) >>> 1
-            if (sorted(mid) < f.minKey) lo = mid + 1 else hi = mid
+            if (KeyCodec.compare(sorted(mid), f.minKey) < 0) lo = mid + 1 else hi = mid
           }
-          lo < sorted.length && sorted(lo) <= f.maxKey
+          lo < sorted.length && KeyCodec.compare(sorted(lo), f.maxKey) <= 0
         }
-        snap.files.partition(intersects)
-      case None if k1IsString && keyLo != null && keyHi != null =>
-        snap.files.partition(f => f.maxKey >= keyLo && f.minKey <= keyHi)
+        files.partition(intersects)
+      case None if prunable && keyLo != null && keyHi != null =>
+        files.partition(f => unknownBounds(f) ||
+          (KeyCodec.compare(f.maxKey, keyLo) >= 0 && KeyCodec.compare(f.minKey, keyHi) <= 0))
       case None =>
-        (snap.files, Nil) // lexical bounds unsafe for non-string keys
+        (files, Nil) // no usable bounds: every file is touched
     }
   }
 

@@ -53,16 +53,27 @@ object SimilarityOps {
    * consumer (df computation, candidate generation, size counts, verification)
    * re-evaluates it otherwise — here recompute is expensive and the exploded
    * output is narrow, the opposite trade-off from the merge path's no-persist
-   * rule. Left cached for the session (LRU-evicted; queries are one-shot).
+   * rule.
+   *
+   * Memoized per (session, canonicalized input plan): repeated invocations
+   * (bench loops, verify runs) reuse ONE cache entry instead of pinning a new
+   * MEMORY_AND_DISK copy per call — disk-backed blocks are not LRU-reclaimed,
+   * so per-call persists would accumulate for the session's lifetime.
    */
-  private def explodedShingles(d: DataFrame): DataFrame =
-    // two-step projection: materialize the token array as a column FIRST.
-    // Referencing the tokenizer expression inside the shingle lambda would
-    // re-run the whole regexp extraction per element access — O(tokens^2)
-    // regex work per document (measured 3-4x the entire query's time).
-    d.select(col("doc_id"), toks.as("_tk"))
-      .select(col("doc_id"), explode(shingles(col("_tk"))).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Any), DataFrame]
+
+  private def explodedShingles(d: DataFrame): DataFrame = {
+    val key = (d.sparkSession, d.queryExecution.analyzed.canonicalized)
+    shingleCache.computeIfAbsent(key, _ =>
+      // two-step projection: materialize the token array as a column FIRST.
+      // Referencing the tokenizer expression inside the shingle lambda would
+      // re-run the whole regexp extraction per element access — O(tokens^2)
+      // regex work per document (measured 3-4x the entire query's time).
+      d.select(col("doc_id"), toks.as("_tk"))
+        .select(col("doc_id"), explode(shingles(col("_tk"))).as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** doc_id -> exploded rare shingles (df-capped) + per-doc sizes */
   private def rareShingleSets(d: DataFrame, dfCap: Int): (DataFrame, DataFrame) = {
@@ -81,15 +92,38 @@ object SimilarityOps {
    * itself; output volume is sum(group_size^2)/2 either way, but bounded
    * here by the df-cap/band-bucket size.
    */
-  private def pairsWithinGroups(ex: DataFrame, groupCols: Seq[String]): DataFrame = {
-    val grouped = ex.groupBy(groupCols.map(col): _*)
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    grouped.select(explode(flatten(transform(col("ids"), (x, i) =>
-      transform(
-        slice(col("ids"), i + lit(2), size(col("ids"))),
-        y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+  private def pairsWithinGroups(ex: DataFrame, groupCols: Seq[String],
+      maxGroup: Int = Int.MaxValue): DataFrame = {
+    def allPairs(in: DataFrame): DataFrame = {
+      val grouped = in.groupBy(groupCols.map(col): _*)
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+      grouped.select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(
+          slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+    }
+    if (maxGroup == Int.MaxValue) allPairs(ex)
+    else {
+      // Bound group size BEFORE the collect_list: a mass-duplicate corpus
+      // otherwise puts the whole corpus into one bucket — one giant row
+      // (executor OOM) plus O(n^2) pair blowup. Sizes come from a plain hash
+      // aggregate (fixed-size state), joined back; over-cap groups degrade to
+      // consecutive-chain pairs (sorted by doc_id, lead window — streaming,
+      // spillable): O(n) volume while keeping the duplicate cluster CONNECTED
+      // for downstream grouping, and every emitted pair is still exact-verified
+      // by the caller.
+      val sizes = ex.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("_gn"))
+      val withN = ex.join(sizes, groupCols)
+      val small = allPairs(withN.filter(col("_gn") <= maxGroup).drop("_gn"))
+      val wchain = Window.partitionBy(groupCols.map(col): _*).orderBy(col("doc_id"))
+      val big = withN.filter(col("_gn") > maxGroup)
+        .withColumn("_next", lead(col("doc_id"), 1).over(wchain))
+        .filter(col("_next").isNotNull)
+        .select(col("doc_id").as("doc_a"), col("_next").as("doc_b"))
+      small.unionByName(big)
+    }
   }
 
   /** sequential-fold dot product (bit-identical to DuckDB's loop) */
@@ -178,9 +212,18 @@ object SimilarityOps {
          SELECT qid, nid, round(sim_raw, 4) AS sim FROM s
          QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim_raw DESC, nid) <= 5""")
 
-  /** MinHash signatures + banded LSH + exact-Jaccard verification. */
+  /** MinHash signatures + banded LSH + exact-Jaccard verification.
+    *
+    * `bandBucketCap` bounds every band bucket: buckets above the cap (mass
+    * duplicates — e.g. one boilerplate text repeated across the corpus) emit
+    * consecutive-chain pairs instead of all pairs, so candidate volume is
+    * O(bucket) not O(bucket^2) and no single aggregation row can OOM an
+    * executor. Verification is candidate-pair-driven (two joins against the
+    * exploded shingles), so its cost is linear in candidates * doc size even
+    * when the corpus is one giant duplicate class — a shingle-grouped pair
+    * expansion would square in the duplicate count there. */
   def minhashPairs(d: DataFrame, threshold: Double, numPerms: Int = 32,
-      bands: Int = 16, dfCap: Int = 25): DataFrame = {
+      bands: Int = 16, bandBucketCap: Int = 64): DataFrame = {
     val ex = explodedShingles(d)
     // 32 min-hashes: min over shingles of xxhash64(shingle, perm-seed)
     val sigCols = (0 until numPerms).map(j =>
@@ -194,19 +237,18 @@ object SimilarityOps {
     }
     val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-    val cands = pairsWithinGroups(buckets, Seq("band", "sig")).distinct()
-    // verify candidates with exact Jaccard — but only over docs that appear
-    // in some candidate pair (left_semi pruning), so verification cost scales
-    // with the near-dup population, not the corpus: the whole point of LSH.
-    val candDocs = cands.select(col("doc_a").as("doc_id"))
-      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
-    val exCand = ex.join(candDocs, Seq("doc_id"), "left_semi")
+    val cands =
+      pairsWithinGroups(buckets, Seq("band", "sig"), bandBucketCap).distinct()
+    // exact-Jaccard verification, driven by the candidate pairs: shared
+    // shingle count per pair = cands ⋈ shingles(doc_a) ⋈ shingles(doc_b).
     val sz = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = pairsWithinGroups(exCand, Seq("s"))
+    val common = cands
+      .join(ex.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(ex.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
     val jac = col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))
-    cands.join(common, Seq("doc_a", "doc_b"))
+    common
       .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
       .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
       .filter(jac >= threshold)

@@ -51,16 +51,29 @@ final case class IngestConfig(
     schema: StructType = Schemas.changeV2,
     watermarkCol: String = "ts",
     watermarkDelay: String = "2 hours",
-    /** streaming lsn-dedup on/off (merge is idempotent either way) */
-    streamDedup: Boolean = true,
+    /** Optional stateful lsn-dedup BEFORE the merge. Default OFF: the merge's
+      * max-lsn resolution already collapses redelivered (key, lsn) rows —
+      * identical records by the WAL contract — so the state store shuffle,
+      * per-epoch state maintenance, and the localCheckpoint to avoid
+      * re-executing it are pure overhead (measured ~1.8x ingest throughput
+      * when removed). Enable only when a downstream consumer taps the deduped
+      * stream itself rather than the table. */
+    streamDedup: Boolean = false,
     maxFilesPerTrigger: Option[Int] = None,
-    /** read-partition size for batch scans. The default 128 MiB packs small
+    /** Read-partition size for batch scans. The default 128 MiB packs small
       * WAL files into a handful of read partitions, capping every epoch's
       * map side (stats pass, dedup shuffle write, merge scan) at that
       * parallelism no matter how many cores exist — measured as THE scaling
-      * bottleneck. 16 MiB keeps typical binlog segments one-per-task. */
+      * bottleneck. 16 MiB keeps typical binlog segments one-per-task.
+      *
+      * NOTE: applied to the shared session config at `start` and left in
+      * place (micro-batch planning re-reads it every epoch, so it cannot be
+      * scoped to the stream). Pass None to leave the session untouched;
+      * `runAvailableNow` restores the prior value when the stream ends. */
     maxPartitionBytes: Option[Long] = Some(16L * 1024 * 1024),
-    mergeOptions: MergeOptions = MergeOptions())
+    /** merge-on-read by default: a streaming epoch writes O(batch) delta
+      * files, never a copy-on-write rewrite of the table (see MergeMode) */
+    mergeOptions: MergeOptions = MergeOptions(mode = graft.merge.MergeMode.Mor))
 
 object CdcIngestJob {
 
@@ -121,10 +134,19 @@ object CdcIngestJob {
   def runAvailableNow(spark: SparkSession, cfg: IngestConfig): Long = {
     val listener = new LineageListener(cfg.tableDir)
     spark.streams.addListener(listener)
+    val priorMpb = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
     try {
       val q = start(spark, cfg, Trigger.AvailableNow())
       q.awaitTermination()
-    } finally spark.streams.removeListener(listener)
+    } finally {
+      spark.streams.removeListener(listener)
+      // bounded lifecycle => restore the session's scan-partitioning config
+      if (cfg.maxPartitionBytes.isDefined)
+        priorMpb match {
+          case Some(v) => spark.conf.set("spark.sql.files.maxPartitionBytes", v)
+          case None => spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        }
+    }
     LakeTable.load(cfg.tableDir).read(spark).count()
   }
 }

@@ -37,19 +37,19 @@ class CompactionSpec extends AnyFunSuite {
     }
 
     val before = state()
-    val filesBefore = table.currentSnapshot.files.size
-    val epochsBefore = table.currentSnapshot.epochs
+    val filesBefore = table.currentFiles.size
+    val epochsBefore = table.currentSnapshot.epochHwm
 
     val stats = Compaction.compact(spark, table, targetRowsPerFile = 50000L,
       smallFileRows = 50000L)
     assert(stats.filesAfter < stats.filesBefore,
       s"expected fewer files: ${stats.filesBefore} -> ${stats.filesAfter}")
-    assert(table.currentSnapshot.files.size < filesBefore)
+    assert(table.currentFiles.size < filesBefore)
 
     // logical state is bit-for-bit unchanged
     assert(state() == before, "compaction must not change table contents")
     // exactly-once ledger survives (replays still no-op after compaction)
-    assert(table.currentSnapshot.epochs == epochsBefore)
+    assert(table.currentSnapshot.epochHwm == epochsBefore)
     val replay = MergeInto.merge(spark, table,
       table.read(spark).limit(0).withColumn("op", lit("I")).withColumn("lsn", lit(0L)),
       "cmp", 3L)

@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.gen.{ChangelogGen, GenParams}
-import graft.lake.{LakeTable, SchemaMerge}
-import graft.merge.{MergeInto, MergeOptions}
+import graft.lake.{KeyCodec, LakeTable, SchemaMerge}
+import graft.merge.{MergeInto, MergeMode, MergeOptions, ResolveStrategy}
 import graft.model.Schemas
 
 class LakeMergeSpec extends AnyFunSuite {
@@ -32,32 +32,33 @@ class LakeMergeSpec extends AnyFunSuite {
       k -> ((e.role, e.text, e.tool, e.ts, e.tool_meta))
     }
 
-  test("epoch-by-epoch merge reproduces the sequential fold oracle") {
-    val dir = TestSpark.tmpDir("lake-fold")
-    val table = LakeTable.create(s"$dir/t", Schemas.turn)
-    val ev = ChangelogGen.events(spark, p)
-      .map { case (f, e) => (f, e.op, e.lsn, e.conv_id, e.turn_idx, e.role, e.text,
-        e.tool, e.ts, e.tool_meta) }
-      .toDF("wal_file", "op", "lsn", "conv_id", "turn_idx", "role", "text",
-        "tool", "ts", "tool_meta")
-      .cache()
-    try {
-      (0 until p.nFiles).foreach { f =>
-        val batch = ev.filter($"wal_file" === f).drop("wal_file")
-        val stats = MergeInto.merge(spark, table, batch, "ck1", f.toLong,
-          MergeOptions(targetRowsPerFile = 2000))
-        assert(!stats.noop)
-      }
-      val got = tableState(table)
-      val want = oracleState(p)
-      assert(got.size == want.size,
-        s"row count: got ${got.size}, want ${want.size}")
-      want.foreach { case (k, w) =>
-        assert(got.contains(k), s"missing key $k")
-        assert(got(k) == w, s"key $k: got ${got(k)}, want $w")
-      }
-    } finally ev.unpersist()
-  }
+  for (strat <- Seq(ResolveStrategy.SortDedup, ResolveStrategy.Agg))
+    test(s"epoch-by-epoch merge reproduces the sequential fold oracle [$strat]") {
+      val dir = TestSpark.tmpDir(s"lake-fold-$strat")
+      val table = LakeTable.create(s"$dir/t", Schemas.turn)
+      val ev = ChangelogGen.events(spark, p)
+        .map { case (f, e) => (f, e.op, e.lsn, e.conv_id, e.turn_idx, e.role, e.text,
+          e.tool, e.ts, e.tool_meta) }
+        .toDF("wal_file", "op", "lsn", "conv_id", "turn_idx", "role", "text",
+          "tool", "ts", "tool_meta")
+        .cache()
+      try {
+        (0 until p.nFiles).foreach { f =>
+          val batch = ev.filter($"wal_file" === f).drop("wal_file")
+          val stats = MergeInto.merge(spark, table, batch, "ck1", f.toLong,
+            MergeOptions(targetRowsPerFile = 2000, resolveStrategy = strat))
+          assert(!stats.noop)
+        }
+        val got = tableState(table)
+        val want = oracleState(p)
+        assert(got.size == want.size,
+          s"row count: got ${got.size}, want ${want.size}")
+        want.foreach { case (k, w) =>
+          assert(got.contains(k), s"missing key $k")
+          assert(got(k) == w, s"key $k: got ${got(k)}, want $w")
+        }
+      } finally ev.unpersist()
+    }
 
   test("replayed epoch is a no-op (exactly-once ledger)") {
     val dir = TestSpark.tmpDir("lake-idem")
@@ -129,20 +130,21 @@ class LakeMergeSpec extends AnyFunSuite {
     MergeInto.merge(spark, table, seedRows
       .toDF("op", "lsn", "conv_id", "turn_idx", "role", "text", "tool", "ts"),
       "ck", 0L, MergeOptions(targetRowsPerFile = 5))
-    val before = table.currentSnapshot
-    assert(before.files.size >= 3, s"expected multiple files, got ${before.files.size}")
+    val beforeFiles = table.currentFiles
+    assert(beforeFiles.size >= 3, s"expected multiple files, got ${beforeFiles.size}")
     // update a single conv — only files whose bounds contain it may be rewritten
     val upd = Seq(("U", 100L, "conv_019", 0, "user", "updated", None: Option[String],
       Timestamp.valueOf("2025-01-01 00:01:00")))
       .toDF("op", "lsn", "conv_id", "turn_idx", "role", "text", "tool", "ts")
     val stats = MergeInto.merge(spark, table, upd, "ck", 1L,
       MergeOptions(targetRowsPerFile = 5))
-    assert(stats.filesRewritten < before.files.size,
-      s"pruning failed: rewrote ${stats.filesRewritten}/${before.files.size} files")
+    assert(stats.filesRewritten < beforeFiles.size,
+      s"pruning failed: rewrote ${stats.filesRewritten}/${beforeFiles.size} files")
     assert(stats.filesPruned > 0)
-    val after = table.currentSnapshot
+    val afterFiles = table.currentFiles
     // untouched files are literally the same file objects
-    assert(before.files.filter(_.maxKey < "conv_019").forall(after.files.contains))
+    assert(beforeFiles.filter(f => KeyCodec.compare(f.maxKey, "conv_019") < 0)
+      .forall(afterFiles.contains))
     val rows = table.read(spark).collect().map(r =>
       r.getAs[String]("conv_id") -> r.getAs[String]("text")).toMap
     assert(rows.size == 20 && rows("conv_019") == "updated" && rows("conv_000") == "seed 0")
@@ -163,6 +165,84 @@ class LakeMergeSpec extends AnyFunSuite {
     val b = tableState(tB)
     assert(a == b)
     assert(a == oracleState(pSkew))
+  }
+
+  test("merge-on-read reproduces the fold oracle; foldDeltas is state-invariant") {
+    val dir = TestSpark.tmpDir("lake-mor")
+    val table = LakeTable.create(s"$dir/t", Schemas.turn)
+    // thresholds high enough that nothing auto-folds: reads must resolve deltas
+    val mor = MergeOptions(mode = MergeMode.Mor, targetRowsPerFile = 2000,
+      morCompactDeltaRatio = 1e9, morCompactMaxDeltaFiles = Int.MaxValue)
+    val ev = ChangelogGen.events(spark, p)
+      .map { case (f, e) => (f, e.op, e.lsn, e.conv_id, e.turn_idx, e.role, e.text,
+        e.tool, e.ts, e.tool_meta) }
+      .toDF("wal_file", "op", "lsn", "conv_id", "turn_idx", "role", "text",
+        "tool", "ts", "tool_meta")
+      .cache()
+    try {
+      (0 until p.nFiles).foreach { f =>
+        val stats = MergeInto.merge(spark, table,
+          ev.filter($"wal_file" === f).drop("wal_file"), "ck1", f.toLong, mor)
+        assert(stats.filesRewritten == 0, "MoR must never rewrite base files")
+      }
+      assert(table.currentFiles.exists(_.delta), "expected unresolved deltas")
+      val want = oracleState(p)
+      assert(tableState(table) == want, "MoR read-time fold mismatch")
+      // folding deltas must not change logical state, and clears all deltas
+      val cs = graft.lake.Compaction.foldDeltas(spark, table)
+      assert(cs.filesBefore > cs.filesAfter || cs.rowsRewritten > 0)
+      assert(!table.currentFiles.exists(_.delta))
+      assert(tableState(table) == want, "foldDeltas changed table contents")
+      // replay after fold still no-ops
+      assert(MergeInto.merge(spark, table,
+        ev.filter($"wal_file" === 0).drop("wal_file"), "ck1", 0L, mor).noop)
+    } finally ev.unpersist()
+  }
+
+  test("snapshot metadata stays O(1) across 100 epochs") {
+    val dir = TestSpark.tmpDir("lake-meta")
+    val table = LakeTable.create(s"$dir/t", Schemas.turn)
+    def snapBytes(v: Long): Long =
+      java.nio.file.Files.size(java.nio.file.Paths.get(
+        s"$dir/t/_snapshots", f"v$v%020d.json"))
+    val mor = MergeOptions(mode = MergeMode.Mor,
+      morCompactDeltaRatio = 1e9, morCompactMaxDeltaFiles = Int.MaxValue)
+    (0 until 100).foreach { e =>
+      val batch = Seq(("I", e.toLong, f"conv_$e%03d", 0, "user", s"t$e",
+        None: Option[String], Timestamp.valueOf("2025-01-01 00:00:00")))
+        .toDF("op", "lsn", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+      MergeInto.merge(spark, table, batch, "ck", e.toLong, mor)
+    }
+    // Bounded sawtooth: manifest NAMES accumulate per epoch then fold at the
+    // threshold. The envelope must be stationary — the old design (full file
+    // list + epoch ledger in every snapshot) grew linearly without bound.
+    val early = (10L to 40L).map(snapBytes).max
+    val late = (70L to 100L).map(snapBytes).max
+    assert(late <= early * 1.2,
+      s"snapshot envelope grew with epoch count: early=$early late=$late")
+    assert(late < 4096, s"snapshot bigger than O(1) budget: $late")
+    // and the table still reads correctly through its manifests
+    assert(table.read(spark).count() == 100)
+  }
+
+  test("long-keyed table: non-string first key still prunes files") {
+    import org.apache.spark.sql.types._
+    val dir = TestSpark.tmpDir("lake-longkey")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType)))
+    val table = LakeTable.create(s"$dir/t", schema, keyCols = Seq("id"))
+    val opts = MergeOptions(keyCols = Seq("id"), targetRowsPerFile = 25)
+    val seed = (0 until 100).map(i => ("I", i.toLong, i.toLong, s"v$i"))
+      .toDF("op", "lsn", "id", "v")
+    MergeInto.merge(spark, table, seed, "ck", 0L, opts)
+    assert(table.currentFiles.size >= 3)
+    val upd = Seq(("U", 1000L, 7L, "updated")).toDF("op", "lsn", "id", "v")
+    val stats = MergeInto.merge(spark, table, upd, "ck", 1L, opts)
+    assert(stats.filesPruned > 0,
+      s"long key should prune: rewrote ${stats.filesRewritten}, pruned ${stats.filesPruned}")
+    val got = table.read(spark).collect().map(r => r.getLong(r.fieldIndex("id")) ->
+      r.getString(r.fieldIndex("v"))).toMap
+    assert(got.size == 100 && got(7L) == "updated" && got(8L) == "v8")
   }
 
   test("schema merge rejects type conflicts, appends new nullable columns") {

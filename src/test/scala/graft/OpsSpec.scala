@@ -32,6 +32,25 @@ class OpsSpec extends AnyFunSuite {
     assert(SimilarityOps.minhashPairs(docs, 0.5).filter(col("jaccard") < 0.5).count() == 0)
   }
 
+  test("minhash survives a mass-duplicate corpus with capped candidate volume") {
+    // 5000 copies of one text: every band bucket holds the entire corpus.
+    // Uncapped banding would collect one 5000-id row per bucket and expand
+    // ~12.5M candidate pairs x 16 bands; the cap degrades over-cap buckets to
+    // consecutive-chain pairs, keeping the duplicate class connected at O(n).
+    val docs = spark.range(0, 5000).select(col("id").as("doc_id"),
+      lit("the same boilerplate text repeated for every single document " +
+        "in this degenerate corpus of mass duplicates").as("text"))
+    val pairs = SimilarityOps.minhashPairs(docs, threshold = 0.5)
+    val n = pairs.count()
+    // chain pairs: exactly n-1 verified (jaccard = 1.0) edges
+    assert(n == 4999L, s"expected 4999 chain pairs, got $n")
+    assert(pairs.filter(col("jaccard") < 0.999).count() == 0)
+    // connectivity: the chain must touch every doc
+    val touched = pairs.select(explode(array(col("doc_a"), col("doc_b"))))
+      .distinct().count()
+    assert(touched == 5000L, s"duplicate class not fully connected: $touched")
+  }
+
   test("simhash: identical docs hash identically; near-dups within hamming 8") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("text"))

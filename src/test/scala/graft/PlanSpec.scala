@@ -58,4 +58,23 @@ class PlanSpec extends AnyFunSuite {
     val saltedEx = "Exchange".r.findAllIn(plan(salted)).size
     assert(saltedEx == 2, s"expected 2 shuffles for salted, saw $saltedEx")
   }
+
+  test("sort-dedup resolution: one exchange, one sort, rank-limit pushdown") {
+    import org.apache.spark.sql.functions._
+    // real (non-literal) key columns: a folded literal key would drop out of
+    // the window's partition spec and break the partitioning match
+    val df = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id").cast("string").as("conv_id"),
+        (col("event_id") % 5).cast("int").as("turn_idx"),
+        col("event_id").as("_lsn"), col("value"))
+    val p = plan(MergeInto.resolveSortDedup(df, Seq("conv_id", "turn_idx"), 8))
+    val exchanges = "Exchange".r.findAllIn(p).size
+    val sorts = "Sort ".r.findAllIn(p).size
+    // The range exchange must double as the window's clustering — a second
+    // (hash) exchange would mean EnsureRequirements didn't accept it.
+    assert(exchanges == 1, s"expected 1 shuffle, saw $exchanges:\n$p")
+    assert(sorts == 1, s"expected 1 sort, saw $sorts:\n$p")
+    // WindowGroupLimit drops losing rows before full window evaluation
+    assert(p.contains("WindowGroupLimit"), s"rank-limit pushdown missing:\n$p")
+  }
 }
