@@ -57,11 +57,12 @@ object Bench {
       rep: Int): (Double, Double) = {
     val spark = session(cores, Some(s"$work/local$cores-$rep"))
     try {
-      // ~4M-row epochs: with event-time-ordered WAL files (watermark eviction
-      // works) this is the sweet spot — parallel compute dominates per-epoch
-      // fixed costs and dedup state stays bounded by the batch span
+      // ~8M-row epochs: with merge-side dedup (no streaming state store) the
+      // epoch size is bounded only by shuffle/sort memory, so larger epochs
+      // amortize the per-epoch fixed costs (planning, offsets, footer stats,
+      // commit) and keep parallel compute dominant at wide parallelism
       val trigger = math.max(1, math.min(p.nFiles,
-        (4000000L / math.max(1L, p.eventsPerFile)).toInt))
+        (8000000L / math.max(1L, p.eventsPerFile)).toInt))
       val t0 = System.nanoTime()
       CdcIngestJob.runAvailableNow(spark,
         IngestConfig(walDir, s"$work/table$cores-$rep", s"$work/ckpt$cores-$rep",

@@ -98,8 +98,22 @@ object Compaction {
 
     val newFiles = writtenStats(spark, table, outDir, newVersion, delta = false)
     table.commitChange(snap, snap.schemaJson, all.map(_.path).toSet, newFiles, None)
-    CompactionStats(all.size, newFiles.size, estRows,
+    val stats = CompactionStats(all.size, newFiles.size, estRows,
       (System.nanoTime() - t0) / 1000000L)
+    logFold(table, newVersion, stats)
+    stats
+  }
+
+  /** one JSON line per fold into _metrics (same observability surface as
+    * MergeStats — `table.metrics` shows merge and maintenance cost together) */
+  private def logFold(table: LakeTable, version: Long, s: CompactionStats): Unit = {
+    val dir = java.nio.file.Paths.get(table.dir, "_metrics")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve(f"fold-$version%010d.json"),
+      (s"""{"op":"fold","snapshotVersion":$version,"filesBefore":${s.filesBefore},""" +
+        s""""filesAfter":${s.filesAfter},"rowsRewritten":${s.rowsRewritten},""" +
+        s""""foldMs":${s.wallMs}}""").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
   }
 
   private def writtenStats(spark: SparkSession, table: LakeTable, outDir: String,

@@ -1,5 +1,6 @@
 package graft.merge
 
+import scala.collection.parallel.CollectionConverters._
 import scala.jdk.CollectionConverters._
 import scala.util.control.NonFatal
 
@@ -40,7 +41,9 @@ object FileStats {
       val fs = dir.getFileSystem(conf)
       val parts = fs.listStatus(dir).toList
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      val files = parts.map { st =>
+      // footer reads are independent metadata fetches; serial they cost
+      // ~10ms x files of per-epoch driver time — parallelize
+      val files = parts.par.map { st =>
         val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
         try {
           val blocks = reader.getFooter.getBlocks.asScala.toList
@@ -74,7 +77,7 @@ object FileStats {
           }
         } finally reader.close()
       }
-      Some(files.flatten)
+      Some(files.toList.flatten)
     } catch {
       case StatsMissing => None
       case NonFatal(e) =>

@@ -90,8 +90,11 @@ final case class MergeOptions(
       *    Per-epoch write cost is O(batch) — the streaming-ingest default. */
     mode: MergeMode = MergeMode.Cow,
     /** MoR: fold deltas into base when delta rows exceed this multiple of
-      * base rows (amortizes compaction to O(total ingested), like LSM tiers) */
-    morCompactDeltaRatio: Double = 1.0,
+      * base rows — the LSM write-amp/read-amp dial: each fold rewrites
+      * base+deltas, so ratio r bounds total write amplification at
+      * ~(1 + 1/r) log_{1+r}(N) row-writes per ingested row while reads fan
+      * in at most (1 + r) x base bytes between folds */
+    morCompactDeltaRatio: Double = 2.0,
     /** MoR: ... or when delta file count alone exceeds this (bounds read fan-in
       * even when the base is huge) */
     morCompactMaxDeltaFiles: Int = 64)

@@ -138,6 +138,24 @@ object CdcQueries {
         .groupBy(col("gen_for"))
         .agg(count(lit(1)).as("n"), max(col("event_id")).as("max_id"),
           round(sum(col("value")), 3).as("value_sum"))
+    }),
+
+    // The SCALE form of the dynamic scan: identical semantics, but the
+    // driving key set stays distributed — a broadcast semi-join (rank-top-3
+    // keys) replaces N collect-driven rescans. This is the plan to run at
+    // 100 TB; q_dynamic_scan is kept as the reference-API-shape parity demo.
+    "q_dynamic_scan_semi" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir)
+      val hot = ev.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("user_id"))))
+        .filter(col("rk") <= 3).select(col("user_id"))
+      ev.join(broadcast(hot), Seq("user_id"), "left_semi")
+        .groupBy(col("user_id").as("gen_for"))
+        .agg(count(lit(1)).as("n"), max(col("event_id")).as("max_id"),
+          round(sum(col("value")), 3).as("value_sum"))
+        .select(col("gen_for"), col("n"), col("max_id"), col("value_sum"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -196,6 +214,14 @@ object CdcQueries {
          CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
          FROM events GROUP BY event_type""",
     "q_dynamic_scan" ->
+      """SELECT user_id AS gen_for, count(*) AS n, max(event_id) AS max_id,
+                round(sum(value), 3) AS value_sum
+         FROM events
+         WHERE user_id IN (SELECT user_id FROM (
+           SELECT user_id, count(*) AS cnt FROM events
+           GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 3))
+         GROUP BY user_id""",
+    "q_dynamic_scan_semi" ->
       """SELECT user_id AS gen_for, count(*) AS n, max(event_id) AS max_id,
                 round(sum(value), 3) AS value_sum
          FROM events

@@ -312,6 +312,39 @@ object SimilarityOps {
   }
 
   /**
+   * Deterministic k-means centroids for IVF: first-k-by-id init, then
+   * `iters` Lloyd rounds. Each round is two distributed passes — a broadcast
+   * argmax-cosine assignment (no corpus shuffle) and a per-(cluster, dim)
+   * mean via posexplode + hash aggregate — with only the k x dim centroid
+   * table ever collected to the driver. Deterministic (no RNG): same input
+   * -> same centroids -> reproducible bucketing.
+   */
+  def kmeansCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = e.sparkSession
+    var cents = e.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+    for (_ <- 0 until iters) {
+      val assigned = e.crossJoin(broadcast(cents))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("cid"), col("emb")), cosine(col("emb"), col("cemb"))).as("a"))
+        .select(col("a.cid").as("cid"), col("a.emb").as("emb"))
+      val means = assigned
+        .select(col("cid"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("cemb"))
+      // materialize between rounds: keeps the plan flat (each round would
+      // otherwise re-execute all prior rounds) — k x dim doubles only
+      val local = means.collect().map(r =>
+        (r.getLong(0), r.getSeq[Double](1)))
+      import spark.implicits._
+      cents = local.toSeq.toDF("cid", "cemb")
+    }
+    cents
+  }
+
+  /**
    * ANN via IVF (inverted-file) coarse quantization: assign every vector to
    * its nearest of `nCentroids` coarse centroids (broadcast — the centroid
    * table is tiny), then answer each query by exact cosine search over only
@@ -320,16 +353,16 @@ object SimilarityOps {
    * beyond the final per-cluster grouping), and query cost is
    * |corpus| * nProbe / nCentroids instead of |corpus|.
    *
-   * Centroids are deterministic (the lowest-id vectors) — v1 skips k-means
-   * refinement; the recall/cost trade-off is controlled by nProbe.
+   * Centroids: deterministic first-k init refined by `kmeansIters` Lloyd
+   * rounds (0 = the v1 first-k behavior); recall/cost is then controlled by
+   * nProbe.
    */
   def embedIvfTopK(e0: DataFrame, queries0: DataFrame, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+      nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 2): DataFrame = {
     val e = e0.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val queries = queries0.select(col("vec_id").as("qid"),
       col("embedding").cast("array<double>").as("qe"))
-    val cents = e.orderBy(col("vec_id")).limit(nCentroids)
-      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+    val cents = kmeansCentroids(e, nCentroids, kmeansIters)
     // corpus-side cluster assignment: argmax-cosine centroid per vector
     val assigned = e.crossJoin(broadcast(cents))
       .groupBy(col("vec_id"))

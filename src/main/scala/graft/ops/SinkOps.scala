@@ -65,16 +65,60 @@ object SinkOps {
         .agg(count(lit(1)).as("n"), max(col("event_id")).as("max_id"))
     }),
 
+    // CSV quote-escaping golden test: texts are made pathological (embedded
+    // double quotes, commas, AND newlines — the reference's AlwaysEncapsulate
+    // + ""-doubling territory, /root/reference/util/csv_writer.go:43-76) by
+    // the SAME expression the DuckDB oracle applies directly, so a quoting
+    // bug cannot cancel out in the roundtrip: any mis-escaped row changes
+    // the md5 set / char count.
+    "q_csv_escaping" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft-csv-esc").toString
+      val evil = concat(lit("q\""), col("text"), lit("\",\n|"), col("lang"))
+      docs(s, dir).select(col("doc_id"), evil.as("evil"))
+        .write.mode("overwrite")
+        .option("header", "true").option("quote", "\"").option("escape", "\"")
+        .csv(out)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("evil", StringType)))
+      s.read.schema(schema)
+        .option("header", "true").option("quote", "\"").option("escape", "\"")
+        .option("multiLine", "true")
+        .csv(out)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(length(col("evil"))).as("chars"),
+          countDistinct(md5(col("evil"))).as("n_distinct"))
+    }),
+
+    // IoReaderWriter tee (read + write + forward the SAME frame,
+    // /root/reference/processors/io_reader_writer.go): write the frame to a
+    // sink, keep processing the forwarded side, and join it against what was
+    // written — every forwarded row must find its written twin, so the
+    // aggregate equals the plain-documents oracle iff the tee is lossless.
+    "q_tee" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft-tee").toString
+      val frame = docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
+      frame.write.mode("overwrite").parquet(out) // tee: write...
+      val written = s.read.parquet(out)
+      frame // ...and forward
+        .join(written, Seq("doc_id", "lang", "text"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+          countDistinct(md5(col("text"))).as("n_texts"))
+    }),
+
     // Opaque whole-file reads (IoReader buffered/chunked mode,
     // /root/reference/processors/io_reader.go:56-69; FileReader whole-file
     // payloads, file_reader.go:22-26): the binaryFile source yields
     // (path, length, bytes) rows — the multimodal ingestion entry point.
+    // The driver oracle checks (file, length) via DuckDB read_blob; the
+    // content checksum can't be oracled there (DuckDB 1.0 md5 takes VARCHAR
+    // only and the BLOB cast escapes bytes) so OpsSpec asserts the bytes'
+    // md5 against java.security directly.
     "q_binary_file_source" -> ((s, dir) => {
       s.read.format("binaryFile").load(s"$dir/documents.parquet")
         .select(
           element_at(split(col("path"), "/"), -1).as("file"),
-          col("length"),
-          md5(col("content")).as("checksum"))
+          col("length"))
     }),
 
     // Gzipped line-oriented IO: encode rows as text lines, gzip on write,
@@ -102,6 +146,19 @@ object SinkOps {
     "q_route_partitioned" ->
       """SELECT event_type, count(*) AS n, max(event_id) AS max_id
          FROM events GROUP BY event_type""",
+    "q_csv_escaping" ->
+      """WITH evil AS (SELECT doc_id,
+           'q"' || text || '",' || chr(10) || '|' || lang AS evil FROM documents)
+         SELECT count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(length(evil)) AS BIGINT) AS chars,
+           count(DISTINCT md5(evil)) AS n_distinct FROM evil""",
+    "q_tee" ->
+      """SELECT count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         count(DISTINCT md5(text)) AS n_texts FROM documents""",
+    // path fixed by the driver's correctness tier (TESTDATA.md: sf0.01)
+    "q_binary_file_source" ->
+      """SELECT parse_filename(filename) AS file, CAST(size AS BIGINT) AS length
+         FROM read_blob('/root/testdata/sf0.01/documents.parquet')""",
     "q_gzip_lines" ->
       """SELECT count(*) AS n_lines, CAST(sum(doc_id) AS BIGINT) AS id_sum,
          count(DISTINCT md5(text)) AS n_fps FROM documents""")

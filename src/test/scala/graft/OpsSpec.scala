@@ -51,6 +51,20 @@ class OpsSpec extends AnyFunSuite {
     assert(touched == 5000L, s"duplicate class not fully connected: $touched")
   }
 
+  test("binaryFile source delivers exact file bytes (md5 vs direct read)") {
+    // content checksum can't be DuckDB-oracled (no blob hash in 1.0), so the
+    // byte fidelity of the whole-file source is asserted here instead
+    val path = s"$sf/documents.parquet"
+    val got = spark.read.format("binaryFile").load(path)
+      .select(md5(col("content")).as("m"), col("length"))
+      .head()
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val want = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map(b => f"$b%02x").mkString
+    assert(got.getString(0) == want)
+    assert(got.getLong(1) == bytes.length.toLong)
+  }
+
   test("simhash: identical docs hash identically; near-dups within hamming 8") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("text"))
@@ -117,13 +131,21 @@ class OpsSpec extends AnyFunSuite {
     val df = rows.toDF("vec_id", "embedding")
     // probing half the clusters must recover most twins (twin pairs have
     // cosine ~0.999, so they land in the same coarse cluster)
-    val top1 = SimilarityOps.embedIvfTopK(df, df, k = 1, nCentroids = 8, nProbe = 4)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val hits = (0 until 80).count { id =>
-      val twin = if (id % 2 == 0) id + 1 else id - 1
-      top1.get(id.toLong).contains(twin.toLong)
+    def recall(iters: Int): Int = {
+      val top1 = SimilarityOps.embedIvfTopK(df, df, k = 1, nCentroids = 8,
+        nProbe = 4, kmeansIters = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (0 until 80).count { id =>
+        val twin = if (id % 2 == 0) id + 1 else id - 1
+        top1.get(id.toLong).contains(twin.toLong)
+      }
     }
-    assert(hits >= 64, s"IVF recall too low: $hits/80")
+    val v1 = recall(0) // first-k centroids, no refinement
+    val refined = recall(2) // 2 Lloyd rounds
+    assert(refined >= 64, s"IVF recall too low: $refined/80")
+    // k-means refinement must not lose recall vs the unrefined v1 centroids
+    // (on this fixture it strictly improves; >= guards against flakiness)
+    assert(refined >= v1, s"refined recall $refined < v1 recall $v1")
     // full probe == brute force exactly (nProbe = nCentroids degenerates)
     val full = SimilarityOps.embedIvfTopK(df, df, k = 1, nCentroids = 8, nProbe = 8)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
