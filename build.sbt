@@ -27,7 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
-  // measured ~1.5x ingest throughput over G1 at 32-wide local mode
-  // (shuffle/agg allocation churn; confirmed in both run orders)
-  "-XX:+UseParallelGC",
+  // G1 (JDK17 default): re-measured for the merge-on-read engine — total GC
+  // pause 2-2.5s per 16M-event ingest at any width, vs ParallelGC's 7s at
+  // 8-wide growing to 12s at 32-wide (stop-the-world full collections are
+  // the one cost that scaled WITH width). ParallelGC had won for the old
+  // CoW + state-store engine; the allocation profile changed.
 )

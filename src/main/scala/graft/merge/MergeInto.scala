@@ -247,13 +247,15 @@ object MergeInto {
       val newVersion = snap.version + 1
       val outDir = s"${table.dir}/data/v$newVersion"
       val estRows = touched.map(_.rows).sum + bRows
-      // File-count target, floored at cluster parallelism: with few/large
+      // File-count target, floored at 2x cluster parallelism: with few/large
       // target files the final sort+write would otherwise run as 1-2 tasks
-      // and serialize the whole epoch (cores beyond the file count idle).
+      // and serialize the whole epoch; the 2x (two task waves per stage)
+      // smooths per-task stragglers — a single-wave stage finishes with its
+      // SLOWEST task, a real tail cost on shared/heterogeneous nodes.
       // The floor is itself bounded by minRowsPerFile so tiny epochs don't
       // spray micro-files (compaction cleans up what remains).
       val bySize = (estRows + opts.targetRowsPerFile - 1) / opts.targetRowsPerFile
-      val byPar = math.min(spark.sparkContext.defaultParallelism.toLong,
+      val byPar = math.min(2L * spark.sparkContext.defaultParallelism,
         estRows / opts.minRowsPerFile)
       val nOut = math.max(1L, math.max(bySize, byPar)).toInt
 
