@@ -1,0 +1,46 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/**
+ * HTTP ingestion — the reference's HTTPRequest processor
+ * (/root/reference/processors/http_request.go:15-43: fire a request per
+ * incoming payload, forward the response body downstream).
+ *
+ * Spark shape: HTTP fetch is a DRIVER-side act of acquisition (small control
+ * metadata, auth, pagination), after which the payload enters the
+ * distributed plan via `createDataset` + the standard JSON/CSV readers. Bulk
+ * data should never flow through per-row HTTP from executors — that turns a
+ * scan into N network round-trips with no pushdown, no retries under the
+ * engine's control, and no lineage; land bulk payloads in object storage and
+ * scan them instead.
+ *
+ * `fetchJsonLines` is the enrichment pattern: fetch a JSON-lines body, get a
+ * DataFrame back (schema inferred or supplied), join it into the plan —
+ * typically broadcast, since HTTP-sized payloads are by definition small.
+ * Verified in HttpSpec against a loopback server (zero-egress sandbox).
+ */
+object Http {
+
+  private lazy val client = HttpClient.newHttpClient()
+
+  /** GET the body as a string (driver-side). */
+  def fetchBody(url: String): String = {
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() / 100 == 2, s"HTTP ${resp.statusCode()} for $url")
+    resp.body()
+  }
+
+  /** GET a JSON-lines payload into a DataFrame (schema inferred). */
+  def fetchJsonLines(spark: SparkSession, url: String): DataFrame = {
+    import spark.implicits._
+    val lines: Dataset[String] =
+      spark.createDataset(fetchBody(url).linesIterator.filter(_.nonEmpty).toSeq)
+    spark.read.json(lines)
+  }
+}
