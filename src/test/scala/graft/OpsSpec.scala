@@ -171,6 +171,62 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3).features.toSeq == decodeStub(rows(3).media).toSeq)
   }
 
+  test("image decode is real: pixel-exact features, corrupt bytes survive") {
+    import Multimodal._
+    import java.awt.image.BufferedImage
+    // constant-color image: decode + bilinear resize must preserve the color
+    // exactly, so mean luma is known in closed form
+    val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+    (0 until 32).foreach(y => (0 until 32).foreach(x => img.setRGB(x, y, 0x808080)))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val Some((w, h, feats)) = decodeImage(out.toByteArray)
+    assert(w == 32 && h == 32 && feats.length == 64)
+    val expectedLuma = 0x80 / 255.0
+    assert(feats.forall(f => math.abs(f - expectedLuma) < 1e-4),
+      s"constant image must give constant luma ${feats.take(4).mkString(",")}")
+    // BMP decodes through the same path (second JDK-native format)
+    val bmpOut = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bmpOut)
+    assert(decodeImage(bmpOut.toByteArray).exists(_._3.forall(f =>
+      math.abs(f - expectedLuma) < 1e-4)))
+    // corrupt bytes -> None, never an exception
+    assert(decodeImage(Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(decodeImage("not an image".getBytes).isEmpty)
+
+    // distributed: synthesized PNG corpus decodes on executors; undecodable
+    // rows flagged, not fatal
+    val media = spark.createDataset(
+      (0L until 50L).map(id => MediaRow(id, "image/png", syntheticPng(id))) :+
+        MediaRow(999L, "image/png", Array[Byte](9, 9, 9)))
+    val fts = extractImageFeatures(media.repartition(7)).collect()
+    assert(fts.count(_.width == 16) == 50)
+    assert(fts.find(_.doc_id == 999L).exists(_.width == -1))
+    // deterministic: same seed -> same features across partitionings
+    val again = extractImageFeatures(media.repartition(3)).collect()
+    assert(fts.sortBy(_.doc_id).map(_.thumb.toSeq).toSeq ==
+      again.sortBy(_.doc_id).map(_.thumb.toSeq).toSeq)
+  }
+
+  test("image near-dup: thumbnail features feed the ANN operators") {
+    import Multimodal._
+    // pairs of visually identical images (same seed) under different ids:
+    // the 64-dim luma thumbnails are equal, so cosine top-1 must recover the
+    // planted twin through the SAME embedding operator the text corpus uses
+    val media = (0L until 20L).flatMap { seed =>
+      Seq(MediaRow(seed * 2, "image/png", syntheticPng(seed)),
+        MediaRow(seed * 2 + 1, "image/png", syntheticPng(seed)))
+    }
+    val embs = extractImageFeatures(spark.createDataset(media))
+      .select(col("doc_id").as("vec_id"), col("thumb").as("embedding"))
+    val top1 = SimilarityOps.bruteForceTopK(embs, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 40L).foreach { id =>
+      val twin = if (id % 2 == 0) id + 1 else id - 1
+      assert(top1(id) == twin, s"image $id should match its twin $twin, got ${top1(id)}")
+    }
+  }
+
   test("entry(): flagship streaming CDC e2e returns a non-empty transcript table") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
