@@ -108,6 +108,90 @@ object Multimodal {
     out.toByteArray
   }
 
+  final case class AudioFeatures(doc_id: Long, sample_rate: Int, n_samples: Long,
+      rms: Double, zero_cross_rate: Double)
+
+  /**
+   * REAL audio decode (pure JDK, javax.sound.sampled): WAV/PCM bytes ->
+   * sample stream -> (sample rate, length, RMS level, zero-crossing rate).
+   * ZCR is the classic cheap voiced/unvoiced + tone-frequency proxy; RMS is
+   * the loudness gate used by data-curation filters. None for undecodable
+   * bytes.
+   */
+  def decodeWav(bytes: Array[Byte]): Option[AudioFeatures] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16, "PCM16 expected")
+        val data = in.readAllBytes()
+        val n = data.length / 2
+        var i = 0
+        var sumSq = 0.0
+        var crossings = 0L
+        var prev = 0
+        val bigEndian = fmt.isBigEndian
+        while (i < n) {
+          val lo = data(2 * i + (if (bigEndian) 1 else 0)) & 0xFF
+          val hi = data(2 * i + (if (bigEndian) 0 else 1))
+          val s = (hi << 8) | lo
+          sumSq += s.toDouble * s
+          if (i > 0 && ((s ^ prev) < 0)) crossings += 1
+          prev = s
+          i += 1
+        }
+        Some(AudioFeatures(-1L, fmt.getSampleRate.toInt, n.toLong,
+          math.sqrt(sumSq / math.max(1, n)) / 32768.0,
+          crossings.toDouble / math.max(1, n - 1)))
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Deterministic synthetic PCM16 WAV: a seed-derived sine + noise mix. */
+  def syntheticWav(seed: Long, sampleRate: Int = 8000, nSamples: Int = 2000): Array[Byte] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val base = mix(seed)
+    val freq = 100.0 + (base & 0xFF).toDouble * 4 // 100..1120 Hz
+    val samples = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val noise = ((mix(base ^ i) >>> 40).toInt - (1 << 23)) / (1 << 23).toDouble
+      val v = (0.6 * math.sin(2 * math.Pi * freq * i / sampleRate) + 0.1 * noise)
+      val s = math.max(-32768, math.min(32767, (v * 32767).toInt)).toShort
+      samples(2 * i) = (s & 0xFF).toByte
+      samples(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1,
+      true, false)
+    val out = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new ByteArrayInputStream(samples), fmt, nSamples.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Batched WAV decode; undecodable rows carry -1 dimensions. */
+  def extractAudioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.map { r =>
+          decodeWav(r.media) match {
+            case Some(f) => f.copy(doc_id = r.doc_id)
+            case None => AudioFeatures(r.doc_id, -1, -1L, -1.0, -1.0)
+          }
+        }
+      }
+    }
+  }
+
   /** Partition-local batched decode: the mapPartitions plumbing is real. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -165,11 +249,24 @@ object Multimodal {
         round(col("mean_luma"), 4).as("mean_luma"))
   }
 
+  /** Real audio pipeline over synthesized-on-executors WAV corpus. */
+  def audioFeatureQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, "audio/wav", syntheticWav(id)))
+    extractAudioFeatures(media)
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        round(col("rms"), 4).as("rms"),
+        round(col("zero_cross_rate"), 4).as("zcr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> ((s, dir) => featureQuery(s, dir)),
-    // real decode: no SQL oracle exists (DuckDB cannot decode PNG); exact
-    // pixel-level assertions live in OpsSpec
-    "q_image_features" -> ((s, dir) => imageFeatureQuery(s, dir)))
+    // real decodes: no SQL oracle exists (DuckDB cannot decode PNG/WAV);
+    // exact pixel/sample-level assertions live in OpsSpec
+    "q_image_features" -> ((s, dir) => imageFeatureQuery(s, dir)),
+    "q_audio_features" -> ((s, dir) => audioFeatureQuery(s, dir)))
 
   val oracles: Map[String, String] = Map.empty
 }

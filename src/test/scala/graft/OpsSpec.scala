@@ -208,6 +208,41 @@ class OpsSpec extends AnyFunSuite {
       again.sortBy(_.doc_id).map(_.thumb.toSeq).toSeq)
   }
 
+  test("audio decode is real: sine WAV gives known RMS and zero-cross rate") {
+    import Multimodal._
+    // pure 440 Hz sine at 0.5 amplitude: RMS = 0.5/sqrt(2), ZCR = 2f/sr
+    val sr = 8000; val n = 8000; val f = 440.0; val amp = 0.5
+    val samples = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val s = (amp * math.sin(2 * math.Pi * f * i / sr) * 32767).toInt.toShort
+      samples(2 * i) = (s & 0xFF).toByte
+      samples(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(samples), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val Some(feat) = decodeWav(out.toByteArray)
+    assert(feat.sample_rate == sr && feat.n_samples == n)
+    assert(math.abs(feat.rms - amp / math.sqrt(2)) < 0.01,
+      s"sine RMS ${feat.rms} != ${amp / math.sqrt(2)}")
+    assert(math.abs(feat.zero_cross_rate - 2 * f / sr) < 0.005,
+      s"sine ZCR ${feat.zero_cross_rate} != ${2 * f / sr}")
+    // corrupt bytes -> flagged, not fatal; distributed determinism
+    assert(decodeWav("not audio".getBytes).isEmpty)
+    val media = spark.createDataset(
+      (0L until 30L).map(id => MediaRow(id, "audio/wav", syntheticWav(id))) :+
+        MediaRow(999L, "audio/wav", Array[Byte](1, 2)))
+    val fts = extractAudioFeatures(media.repartition(5)).collect()
+    assert(fts.count(_.sample_rate == 8000) == 30)
+    assert(fts.find(_.doc_id == 999L).exists(_.sample_rate == -1))
+    // seed-derived tone frequency shows up in ZCR: distinct seeds differ
+    val zcrs = fts.filter(_.sample_rate > 0).map(_.zero_cross_rate).distinct
+    assert(zcrs.length > 10, "tones should vary across seeds")
+  }
+
   test("image near-dup: thumbnail features feed the ANN operators") {
     import Multimodal._
     // pairs of visually identical images (same seed) under different ids:
