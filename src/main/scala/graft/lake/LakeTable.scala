@@ -259,6 +259,34 @@ final class LakeTable(val dir: String) {
     else spark.emptyDataFrame
   }
 
+  /**
+   * Incremental consumption (CDC out): the resolved change rows committed in
+   * snapshot versions (sinceVersion, untilVersion]. Each merge-on-read epoch
+   * writes its batch as resolved delta files, so those files ARE the change
+   * stream: payload columns + `_lsn` + `_deleted` = an upsert/delete
+   * changelog a downstream pipeline can apply idempotently. Fold/compaction
+   * commits add no logical changes and are skipped naturally (their files
+   * carry delta=false).
+   *
+   * Defined for MoR ingest; CoW commits rewrite files that carry old rows
+   * forward, so their adds are not a change stream — such versions yield
+   * nothing here, by the delta flag.
+   */
+  def readChangesBetween(spark: SparkSession, sinceVersion: Long,
+      untilVersion: Long): DataFrame = {
+    val changeFiles = (sinceVersion + 1 to untilVersion).toList.flatMap { v =>
+      files(snapshot(v)).filter(f => f.delta && f.addedAtVersion == v)
+    }.distinct
+    val schema = snapshot(untilVersion).schema
+    if (changeFiles.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else
+      spark.read.schema(schema).parquet(changeFiles.map(_.path): _*)
+  }
+
+  def readChangesSince(spark: SparkSession, sinceVersion: Long): DataFrame =
+    readChangesBetween(spark, sinceVersion, currentVersion)
+
   /** Time travel: table contents as of a given snapshot version. */
   def readAt(spark: SparkSession, version: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, not, coalesce, lit}

@@ -199,6 +199,35 @@ class LakeMergeSpec extends AnyFunSuite {
     } finally ev.unpersist()
   }
 
+  test("incremental changes: MoR delta commits form a consumable changelog") {
+    val dir = TestSpark.tmpDir("lake-changes")
+    val table = LakeTable.create(s"$dir/t", Schemas.turn)
+    val mor = MergeOptions(mode = MergeMode.Mor,
+      morCompactDeltaRatio = 1e9, morCompactMaxDeltaFiles = Int.MaxValue)
+    def batch(rows: Seq[(String, Long, String, Int, String)]) =
+      rows.map { case (op, lsn, c, t, tx) =>
+        (op, lsn, c, t, "user", tx, None: Option[String],
+          Timestamp.valueOf("2025-01-01 00:00:00"))
+      }.toDF("op", "lsn", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    MergeInto.merge(spark, table, batch(Seq(("I", 1L, "c1", 0, "a"))), "ck", 0L, mor)
+    val v1 = table.currentVersion
+    MergeInto.merge(spark, table,
+      batch(Seq(("U", 2L, "c1", 0, "b"), ("I", 3L, "c2", 0, "c"))), "ck", 1L, mor)
+    MergeInto.merge(spark, table, batch(Seq(("D", 4L, "c1", 0, null))), "ck", 2L, mor)
+    val changes = table.readChangesBetween(spark, v1, table.currentVersion)
+      .collect().map(r => (r.getString(r.fieldIndex("conv_id")),
+        r.getLong(r.fieldIndex("_lsn")), r.getBoolean(r.fieldIndex("_deleted"))))
+      .toSet
+    // exactly the two later epochs' resolved changes, upserts AND the delete
+    assert(changes == Set(("c1", 2L, false), ("c2", 3L, false), ("c1", 4L, true)))
+    // a fold commit adds no logical changes
+    val vBefore = table.currentVersion
+    graft.lake.Compaction.foldDeltas(spark, table)
+    assert(table.readChangesBetween(spark, vBefore, table.currentVersion).count() == 0)
+    // the full change stream since v0 still reads through folded-away files
+    assert(table.readChangesSince(spark, -1L).count() == 4)
+  }
+
   test("snapshot metadata stays O(1) across 100 epochs") {
     val dir = TestSpark.tmpDir("lake-meta")
     val table = LakeTable.create(s"$dir/t", Schemas.turn)
