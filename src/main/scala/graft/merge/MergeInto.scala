@@ -7,39 +7,41 @@ import org.apache.spark.sql.types._
 import graft.lake.{Compaction, DataFile, KeyCodec, LakeTable, SchemaMerge, Snapshot}
 
 /**
- * Key-partitioned MERGE INTO (copy-on-write upsert) — the Spark-native
- * replacement for the reference's `SQLWriter` + `ON DUPLICATE KEY UPDATE`
- * load path (/root/reference/processors/sql_writer.go:21-80,
+ * Key-partitioned MERGE INTO — the Spark-native replacement for the
+ * reference's `SQLWriter` + `ON DUPLICATE KEY UPDATE` load path
+ * (/root/reference/processors/sql_writer.go:21-80,
  * /root/reference/util/sql.go:246-298), which delegates key-equality merge to
  * MySQL. Here the merge is an explicit distributed plan.
  *
- * Plan shape (chosen for 100 TB scale, see explain notes in MergeSpec):
+ * Plan shape (chosen for 100 TB scale; asserted in PlanSpec):
  *
- *   1. File pruning: only target files whose (minKey, maxKey) bounds intersect
- *      the batch's key set are read and rewritten; everything else is carried
- *      over in the manifest untouched. Manifest pruning happens on the driver
- *      against snapshot metadata — no data read for untouched files.
+ *   1. Write-amplification mode (MergeMode): merge-on-read epochs write ONLY
+ *      the batch as resolved delta files (O(batch) IO — the streaming-ingest
+ *      default); copy-on-write epochs rewrite the base files the batch's key
+ *      bounds intersect. Manifest pruning happens on the driver against
+ *      snapshot metadata in KeyCodec's single ordering — no data read for
+ *      untouched files, and integral keys prune too.
  *   2. Conflict resolution: because the rule is max-LSN-wins with a globally
  *      unique lsn, MERGE degenerates to an associative/commutative arg-max
- *      fold. We therefore use ONE hash aggregate over (touched target rows
- *      UNION normalized batch rows) instead of a full-outer join — map-side
- *      partial aggregation halves the shuffle, and no join strategy/skew
- *      machinery is needed. (A full-outer SMJ would shuffle both sides and
- *      cannot be broadcast.)
- *   3. Explicit skew salting: hot keys (e.g. one conv_id receiving 20% of all
- *      events) are first reduced per (key, salt = hash(lsn) % k) bucket, then
- *      re-reduced per key. Correct because arg-max is associative; bounds the
- *      per-reducer row count for any key. Layered on top of AQE, per the
- *      north rule.
- *   4. Deletes write tombstones (_deleted = true, _lsn = delete's lsn) so a
+ *      fold — never a full-outer join (an SMJ would shuffle both sides and
+ *      cannot be broadcast). Default shape is `resolveSortDedup`: ONE range
+ *      exchange that simultaneously places rows for tight per-file key
+ *      bounds, clusters keys for the dedup window (no second exchange —
+ *      RangePartitioning satisfies the window's ClusteredDistribution), and
+ *      feeds WindowGroupLimit so losing rows drop before full evaluation.
+ *      The hash-aggregate form (`resolveMaxLsn`, map-side partial combine +
+ *      optional skew salting) remains selectable for high-duplication
+ *      batches.
+ *   3. Deletes write tombstones (_deleted = true, _lsn = delete's lsn) so a
  *      late-arriving lower-lsn insert can never resurrect a deleted key —
  *      required for replay determinism under out-of-order delivery.
- *   5. Exactly-once: the (checkpointId, epochId) ledger in the snapshot makes
- *      re-delivered micro-batches no-ops; the commit itself is an atomic
- *      rename.
+ *   4. Exactly-once: the per-checkpoint epoch high-watermark in the snapshot
+ *      makes re-delivered micro-batches no-ops; the commit itself is an
+ *      atomic rename. Epoch ids per checkpoint must be monotone (Structured
+ *      Streaming's foreachBatch contract).
  *
- * Output files are range-partitioned and sorted by (key, lsn) so per-file key
- * bounds stay tight (pruning effectiveness) and file contents are
+ * Output files are range-partitioned and key-sorted so per-file key bounds
+ * stay tight (pruning + read-side selectivity) and file contents are
  * deterministic given the same final row set.
  */
 final case class MergeOptions(
@@ -125,8 +127,8 @@ final case class MergeStats(
     filesPruned: Int,
     filesAdded: Int,
     wallMs: Long,
-    /** phase breakdown (ms): batch stats pass, key collect, CoW write incl.
-      * range sampling, footer stats, snapshot commit */
+    /** phase breakdown (ms): batch stats pass, key collect (CoW only), data
+      * write incl. range sampling, footer stats, snapshot commit */
     statsMs: Long,
     keysMs: Long,
     writeMs: Long,

@@ -59,6 +59,29 @@ class PlanSpec extends AnyFunSuite {
     assert(saltedEx == 2, s"expected 2 shuffles for salted, saw $saltedEx")
   }
 
+  test("MoR read: delta fold is one ObjectHashAggregate shuffle, no sort") {
+    import org.apache.spark.sql.functions._
+    import graft.lake.LakeTable
+    import graft.merge.{MergeInto, MergeMode, MergeOptions}
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("plan-mor")
+    val table = LakeTable.create(s"$dir/t", graft.model.Schemas.turn)
+    val mor = MergeOptions(mode = MergeMode.Mor,
+      morCompactDeltaRatio = 1e9, morCompactMaxDeltaFiles = Int.MaxValue)
+    val b = Seq(("I", 1L, "c1", 0, "user", "x", None: Option[String],
+      java.sql.Timestamp.valueOf("2025-01-01 00:00:00")))
+      .toDF("op", "lsn", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    MergeInto.merge(spark, table, b, "ck", 0L, mor)
+    MergeInto.merge(spark, table, b.withColumn("lsn", lit(2L)), "ck", 1L, mor)
+    val p = plan(table.read(spark))
+    // the consumer-facing fold must hash-aggregate (map-side combine), never
+    // fall into max_by's SortAggregate, and cost exactly one shuffle
+    assert(p.contains("ObjectHashAggregate"), s"expected hash agg fold:\n$p")
+    assert(!p.contains("SortAggregate"), s"SortAggregate in read path:\n$p")
+    val ex = "Exchange".r.findAllIn(p).size
+    assert(ex == 1, s"expected 1 shuffle in MoR read, saw $ex:\n$p")
+  }
+
   test("sort-dedup resolution: one exchange, one sort, rank-limit pushdown") {
     import org.apache.spark.sql.functions._
     // real (non-literal) key columns: a folded literal key would drop out of
