@@ -73,7 +73,14 @@ final case class IngestConfig(
     maxPartitionBytes: Option[Long] = Some(16L * 1024 * 1024),
     /** merge-on-read by default: a streaming epoch writes O(batch) delta
       * files, never a copy-on-write rewrite of the table (see MergeMode) */
-    mergeOptions: MergeOptions = MergeOptions(mode = graft.merge.MergeMode.Mor))
+    mergeOptions: MergeOptions = MergeOptions(mode = graft.merge.MergeMode.Mor),
+    /** consumed-source handling — the reference S3Reader's delete-after-read
+      * (/root/reference/processors/s3_reader.go): "delete" removes WAL files
+      * once their batch is committed, "archive" moves them aside, "off"
+      * (default) leaves them. Safe only when this job is the sole consumer. */
+    cleanSource: String = "off",
+    /** archive target for cleanSource = "archive" */
+    sourceArchiveDir: Option[String] = None)
 
 object CdcIngestJob {
 
@@ -99,6 +106,10 @@ object CdcIngestJob {
       .schema(cfg.schema)
       .option("recursiveFileLookup", "true")
     cfg.maxFilesPerTrigger.foreach(n => src = src.option("maxFilesPerTrigger", n))
+    if (cfg.cleanSource != "off") {
+      src = src.option("cleanSource", cfg.cleanSource)
+      cfg.sourceArchiveDir.foreach(d => src = src.option("sourceArchiveDir", d))
+    }
     val raw = src.parquet(cfg.walDir)
     val deduped =
       if (cfg.streamDedup)

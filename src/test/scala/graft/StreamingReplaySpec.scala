@@ -106,4 +106,31 @@ class StreamingReplaySpec extends AnyFunSuite {
     // evolved column materialized
     assert(LakeTable.load(tableDir).payloadSchema.fieldNames.contains("tool_meta"))
   }
+
+  test("delete-after-read: consumed WAL files are removed, state still exact") {
+    // the reference S3Reader's delete-after-read mode
+    // (/root/reference/processors/s3_reader.go) = file-source cleanSource
+    val work = TestSpark.tmpDir("stream-clean")
+    val pSmall = p.copy(nEvents = 4000, eventsPerFile = 500)
+    ChangelogGen.writeWal(spark, pSmall, s"$work/wal")
+    def walFiles(): Int = {
+      def count(d: java.io.File): Int =
+        Option(d.listFiles()).getOrElse(Array.empty).map(f =>
+          if (f.isDirectory) count(f) else if (f.getName.endsWith(".parquet")) 1 else 0).sum
+      count(new java.io.File(s"$work/wal"))
+    }
+    val before = walFiles()
+    assert(before >= 4)
+    CdcIngestJob.runAvailableNow(spark,
+      IngestConfig(s"$work/wal", s"$work/table", s"$work/ckpt",
+        maxFilesPerTrigger = Some(2), cleanSource = "delete"))
+    // cleanup is asynchronous per micro-batch; AvailableNow runs enough
+    // batches that all but the last batch's files must be gone
+    val after = walFiles()
+    assert(after < before,
+      s"cleanSource=delete left all $before files in place")
+    // and the ingested state is still the full fold oracle
+    val got = state(s"$work/table").size
+    assert(got == ChangelogGen.foldOracle(pSmall).size)
+  }
 }
