@@ -53,6 +53,17 @@ object TextOps {
       docs(s, dir).select(col("doc_id"), nToks.as("n_tokens"))
     }),
 
+    // BPE-ish token estimate: the GPT-2 pre-tokenizer split (contraction
+    // suffixes | space-prefixed letter runs | digit runs | punctuation runs |
+    // whitespace), minus the trailing-space lookahead — RE2-safe so the
+    // DuckDB oracle evaluates the IDENTICAL pattern. Counts pre-tokens, the
+    // standard cheap proxy for LLM token budgets at corpus scale.
+    "q_token_bpe" -> ((s, dir) => {
+      val bpe = "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+      docs(s, dir).select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(bpe), lit(0))).as("n_bpe"))
+    }),
+
     // Language ID: stopword-hit-ratio heuristic (n-gram-free, deterministic).
     "q_lang_id" -> ((s, dir) => {
       val hits = size(regexp_extract_all(lower(col("text")),
@@ -114,6 +125,10 @@ object TextOps {
          CAST(n_chars AS VARCHAR)) AS line FROM documents""",
     "q_token_count" ->
       """SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z]+')) AS n_tokens
+         FROM documents""",
+    "q_token_bpe" ->
+      """SELECT doc_id, len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe
          FROM documents""",
     "q_lang_id" ->
       """SELECT doc_id, lang,
