@@ -12,14 +12,21 @@ import org.apache.spark.sql.functions._
  * Multimodal column plumbing: media as opaque `binary` columns with typed
  * metadata, processed in partition-local batches.
  *
- * The image path is REAL: `decodeImage` decodes PNG/BMP/JPEG/GIF bytes with
- * the JDK's built-in ImageIO (no external libraries), resizes to an 8x8
- * grayscale thumbnail on the executor, and emits a 64-dim luma vector — a
- * classic perceptual feature that plugs straight into the engine's
- * embedding operators (cosine top-k / LSH / IVF) for image near-dup
- * detection. Audio/video remain byte-moment stubs (`decodeStub`): the
- * container has no codecs for those, and the batched mapPartitions shape is
- * the same plumbing a device-backed kernel would use.
+ * All three modalities decode for REAL with pure-JDK codecs (no external
+ * libraries in this container):
+ *  - images: `decodeImage` — ImageIO PNG/BMP/JPEG/GIF -> bilinear 8x8
+ *    grayscale thumbnail -> 64-dim luma vector, a perceptual feature that
+ *    plugs straight into the engine's embedding operators (cosine top-k /
+ *    LSH / IVF) for image near-dup detection;
+ *  - audio: `decodeWav` — javax.sound PCM16 WAV -> RMS loudness +
+ *    zero-crossing rate (the loudness/voicing gates curation filters use);
+ *  - video: `splitMjpegFrames` + `extractVideoFeatures` — Motion-JPEG
+ *    container split, every-k-th frame sampled and decoded through the
+ *    image kernel, per-video luma stats + trend.
+ * `decodeStub` (byte moments) remains only for genuinely codec-less media
+ * types, preserving the opaque-binary plumbing contract; every decode runs
+ * in fixed-size partition-local batches, the shape a device-backed kernel
+ * wants.
  */
 object Multimodal {
 
@@ -192,6 +199,82 @@ object Multimodal {
     }
   }
 
+  final case class VideoFeatures(doc_id: Long, n_frames: Int, n_sampled: Int,
+      mean_luma: Double, luma_trend: Double)
+
+  /**
+   * REAL video path: Motion-JPEG streams (concatenated JPEG frames — the
+   * format IP cameras and .mjpeg files emit). Frame boundaries come from the
+   * JPEG SOI/EOI markers (inside a well-formed JPEG an 0xFF in entropy data
+   * is always escaped, so SOI/EOI only appear as real markers); every k-th
+   * frame is decoded through the SAME image kernel (`decodeImage`). This is
+   * the frame-sample -> decode -> feature pipeline the brief asks for, with
+   * the container parsing and sampling genuinely distributed.
+   */
+  def splitMjpegFrames(bytes: Array[Byte]): Vector[Array[Byte]] = {
+    val out = Vector.newBuilder[Array[Byte]]
+    var i = 0
+    var start = -1
+    while (i + 1 < bytes.length) {
+      if ((bytes(i) & 0xFF) == 0xFF) {
+        val m = bytes(i + 1) & 0xFF
+        if (m == 0xD8) { if (start < 0) start = i }
+        else if (m == 0xD9 && start >= 0) {
+          out += java.util.Arrays.copyOfRange(bytes, start, i + 2)
+          start = -1
+        }
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Sample every `everyK`-th frame, decode, aggregate per video:
+    * frame count, sampled count, mean luma, and the luma slope across the
+    * sampled frames (scene-brightness trend — a cheap shot-change proxy). */
+  def extractVideoFeatures(media: Dataset[MediaRow], everyK: Int = 3): Dataset[VideoFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.map { r =>
+          val frames = splitMjpegFrames(r.media)
+          val sampled = frames.zipWithIndex.filter(_._2 % everyK == 0)
+            .flatMap { case (f, idx) =>
+              decodeImage(f).map { case (_, _, thumb) =>
+                (idx, thumb.map(_.toDouble).sum / thumb.length) }
+            }
+          if (sampled.isEmpty) VideoFeatures(r.doc_id, frames.size, 0, -1.0, 0.0)
+          else {
+            val n = sampled.size
+            val meanY = sampled.map(_._2).sum / n
+            val meanX = sampled.map(_._1.toDouble).sum / n
+            val cov = sampled.map { case (x, y) => (x - meanX) * (y - meanY) }.sum
+            val varX = sampled.map { case (x, _) => (x - meanX) * (x - meanX) }.sum
+            VideoFeatures(r.doc_id, frames.size, n, meanY,
+              if (varX == 0) 0.0 else cov / varX)
+          }
+        }
+      }
+    }
+  }
+
+  /** Deterministic synthetic MJPEG: nFrames JPEG frames whose brightness
+    * ramps with the frame index (so the sampled luma trend is known). */
+  def syntheticMjpeg(seed: Long, nFrames: Int = 9, w: Int = 16, h: Int = 16): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    var f = 0
+    while (f < nFrames) {
+      val level = math.min(230, 40 + 20 * f + (seed % 7).toInt)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val rgb = (level << 16) | (level << 8) | level
+      var y = 0
+      while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+      ImageIO.write(img, "jpg", out)
+      f += 1
+    }
+    out.toByteArray
+  }
+
   /** Partition-local batched decode: the mapPartitions plumbing is real. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -261,12 +344,25 @@ object Multimodal {
         round(col("zero_cross_rate"), 4).as("zcr"))
   }
 
+  /** Real video pipeline: MJPEG sample-every-3rd -> decode -> luma stats. */
+  def videoFeatureQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, "video/x-motion-jpeg", syntheticMjpeg(id)))
+    extractVideoFeatures(media, everyK = 3)
+      .select(col("doc_id"), col("n_frames"), col("n_sampled"),
+        round(col("mean_luma"), 4).as("mean_luma"),
+        round(col("luma_trend"), 4).as("luma_trend"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> ((s, dir) => featureQuery(s, dir)),
-    // real decodes: no SQL oracle exists (DuckDB cannot decode PNG/WAV);
+    // real decodes: no SQL oracle exists (DuckDB cannot decode PNG/WAV/MJPEG);
     // exact pixel/sample-level assertions live in OpsSpec
     "q_image_features" -> ((s, dir) => imageFeatureQuery(s, dir)),
-    "q_audio_features" -> ((s, dir) => audioFeatureQuery(s, dir)))
+    "q_audio_features" -> ((s, dir) => audioFeatureQuery(s, dir)),
+    "q_video_frames" -> ((s, dir) => videoFeatureQuery(s, dir)))
 
   val oracles: Map[String, String] = Map.empty
 }

@@ -243,6 +243,35 @@ class OpsSpec extends AnyFunSuite {
     assert(zcrs.length > 10, "tones should vary across seeds")
   }
 
+  test("video decode is real: MJPEG frame split, sampling, luma ramp") {
+    import Multimodal._
+    // 9 frames, brightness ramping 20 gray levels per frame
+    val vid = syntheticMjpeg(seed = 0L, nFrames = 9)
+    val frames = splitMjpegFrames(vid)
+    assert(frames.size == 9, s"expected 9 frames, split ${frames.size}")
+    // every frame decodes through the image kernel
+    frames.zipWithIndex.foreach { case (f, i) =>
+      val Some((w, h, thumb)) = decodeImage(f)
+      assert(w == 16 && h == 16)
+      val expected = math.min(230, 40 + 20 * i) / 255.0
+      val got = thumb.map(_.toDouble).sum / thumb.length
+      assert(math.abs(got - expected) < 0.03, // JPEG is lossy
+        s"frame $i luma $got != $expected")
+    }
+    // distributed sampling: every 3rd frame -> 3 sampled, positive luma trend
+    val media = spark.createDataset(
+      (0L until 20L).map(id => MediaRow(id, "video/x-motion-jpeg", syntheticMjpeg(id))) :+
+        MediaRow(999L, "video/x-motion-jpeg", Array[Byte](0, 1, 2)))
+    val fts = extractVideoFeatures(media.repartition(5), everyK = 3).collect()
+    val good = fts.filter(_.doc_id != 999L)
+    assert(good.forall(f => f.n_frames == 9 && f.n_sampled == 3))
+    // 20 gray levels per frame, sampled stride 3 => slope ~ 60/255 per sample...
+    // slope is per FRAME INDEX: ~20/255 per frame
+    assert(good.forall(f => math.abs(f.luma_trend - 20.0 / 255) < 0.01),
+      s"luma trend off: ${good.map(_.luma_trend).take(3).mkString(",")}")
+    assert(fts.find(_.doc_id == 999L).exists(f => f.n_frames == 0 && f.n_sampled == 0))
+  }
+
   test("image near-dup: thumbnail features feed the ANN operators") {
     import Multimodal._
     // pairs of visually identical images (same seed) under different ids:
