@@ -266,10 +266,11 @@ object MergeInto {
       val toWrite = opts.mode match {
         case MergeMode.Mor =>
           // merge-on-read: write ONLY the batch, resolved within itself
-          // (same one-shuffle plan; cross-epoch conflicts fold at read /
-          // compaction time). Range-placed + key-sorted so delta files carry
-          // tight bounds for read-side pruning and cheap compaction.
-          resolveSortDedup(bNorm, keyCols, nOut)
+          // (cross-epoch conflicts fold at read / compaction time). Hash
+          // exchange: no range-boundary sampling job, so the batch is
+          // scanned exactly once per epoch — delta files are folded soon
+          // anyway, so tight range bounds buy little there.
+          resolveHashDedup(bNorm, keyCols, nOut)
         case MergeMode.Cow =>
           val target =
             if (touched.isEmpty)
@@ -360,6 +361,27 @@ object MergeInto {
     val win = Window.partitionBy(kc: _*).orderBy(col(LsnCol).desc)
     union
       .repartitionByRange(nOut, kc: _*)
+      .sortWithinPartitions(kc :+ col(LsnCol).desc: _*)
+      .withColumn("_rn", row_number().over(win))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /**
+   * Same single-shuffle dedup with a HASH exchange instead of range: no
+   * boundary-sampling job, so the input is scanned exactly once per epoch —
+   * the right trade for merge-on-read DELTA writes, whose files are
+   * short-lived (folded into the base) and whose per-file key bounds
+   * therefore buy little pruning. Long-lived base files (CoW epochs,
+   * compaction, delta folds) keep the range form for tight bounds.
+   * Deterministic: hash placement and in-partition order are functions of
+   * the data only.
+   */
+  def resolveHashDedup(union: DataFrame, keyCols: Seq[String], nOut: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kc = keyCols.map(col)
+    val win = Window.partitionBy(kc: _*).orderBy(col(LsnCol).desc)
+    union
+      .repartition(nOut, kc: _*)
       .sortWithinPartitions(kc :+ col(LsnCol).desc: _*)
       .withColumn("_rn", row_number().over(win))
       .filter(col("_rn") === 1).drop("_rn")
