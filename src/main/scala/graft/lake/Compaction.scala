@@ -116,6 +116,63 @@ object Compaction {
     ()
   }
 
+  /**
+   * Retention: delete data files, manifests and snapshot entries that are
+   * only reachable from snapshots older than the `retainVersions` most
+   * recent. Time travel keeps working within the retention window; beyond
+   * it, history is gone — the knob that keeps a 10^10-event table's storage
+   * O(live data + window), not O(all data ever written).
+   *
+   * Safe by construction: the liveness set is computed from RETAINED
+   * snapshots' manifests, so a file shared by old and new snapshots
+   * survives. Single-writer assumption (same as commits).
+   *
+   * Returns (filesDeleted, snapshotsDeleted).
+   */
+  def vacuum(table: LakeTable, retainVersions: Int = 2): (Int, Int) = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    require(retainVersions >= 1, "must retain at least the current snapshot")
+    val current = table.currentVersion
+    val cutoff = current - retainVersions + 1
+    if (cutoff <= 0) return (0, 0)
+    val retained = (cutoff to current).map(table.snapshot)
+    val liveFiles = retained.flatMap(s => table.files(s).map(_.path)).toSet
+    val liveManifests = retained.flatMap(_.manifests).toSet
+
+    var filesDeleted = 0
+    var snapsDeleted = 0
+    (0L until cutoff).foreach { v =>
+      val snapPath = Paths.get(table.dir, "_snapshots", f"v$v%020d.json")
+      if (Files.exists(snapPath)) {
+        val snap = table.snapshot(v)
+        def local(p: String) =
+          if (p.startsWith("file:")) Paths.get(java.net.URI.create(p).getPath)
+          else Paths.get(p)
+        table.files(snap).foreach { f =>
+          if (!liveFiles(f.path) && Files.deleteIfExists(local(f.path)))
+            filesDeleted += 1
+        }
+        snap.manifests.foreach { m =>
+          if (!liveManifests(m))
+            Files.deleteIfExists(Paths.get(table.dir, "_manifests", m))
+        }
+        Files.delete(snapPath)
+        snapsDeleted += 1
+      }
+    }
+    // drop now-empty data/v* dirs
+    val dataDir = Paths.get(table.dir, "data")
+    if (Files.isDirectory(dataDir)) {
+      Files.list(dataDir).iterator().asScala.toList.foreach { d =>
+        if (Files.isDirectory(d) &&
+            !Files.list(d).iterator().asScala.exists(_ => true))
+          Files.deleteIfExists(d)
+      }
+    }
+    (filesDeleted, snapsDeleted)
+  }
+
   private def writtenStats(spark: SparkSession, table: LakeTable, outDir: String,
       version: Long, delta: Boolean): List[DataFile] = {
     val snap = table.currentSnapshot

@@ -50,6 +50,26 @@ class CompactionSpec extends AnyFunSuite {
     assert(state() == before, "compaction must not change table contents")
     // exactly-once ledger survives (replays still no-op after compaction)
     assert(table.currentSnapshot.epochHwm == epochsBefore)
+    // vacuum: retain 2 versions -> older snapshots + orphaned files go,
+    // current state and recent time travel survive
+    val before2 = state()
+    val vCur = table.currentVersion
+    val liveCount = table.currentFiles.size
+    val (filesGone, snapsGone) = Compaction.vacuum(table, retainVersions = 2)
+    assert(snapsGone > 0, "expected old snapshots removed")
+    assert(filesGone > 0, "expected orphaned data files removed")
+    assert(state() == before2, "vacuum must not change current contents")
+    assert(table.currentFiles.size == liveCount)
+    assert(table.readAt(spark, vCur - 1).count() >= 0) // retained version reads
+    assertThrows[Exception](table.snapshot(0L)) // history beyond window gone
+    // live data files all still exist on disk
+    table.currentFiles.foreach { f =>
+      val p = if (f.path.startsWith("file:"))
+        java.nio.file.Paths.get(java.net.URI.create(f.path).getPath)
+      else java.nio.file.Paths.get(f.path)
+      assert(java.nio.file.Files.exists(p), s"live file deleted: ${f.path}")
+    }
+
     val replay = MergeInto.merge(spark, table,
       table.read(spark).limit(0).withColumn("op", lit("I")).withColumn("lsn", lit(0L)),
       "cmp", 3L)
