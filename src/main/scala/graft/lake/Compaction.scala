@@ -132,6 +132,7 @@ object Compaction {
   def vacuum(table: LakeTable, retainVersions: Int = 2): (Int, Int) = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
+    import scala.util.control.NonFatal
     require(retainVersions >= 1, "must retain at least the current snapshot")
     val current = table.currentVersion
     val cutoff = current - retainVersions + 1
@@ -140,34 +141,45 @@ object Compaction {
     val liveFiles = retained.flatMap(s => table.files(s).map(_.path)).toSet
     val liveManifests = retained.flatMap(_.manifests).toSet
 
-    var filesDeleted = 0
-    var snapsDeleted = 0
-    (0L until cutoff).foreach { v =>
-      val snapPath = Paths.get(table.dir, "_snapshots", f"v$v%020d.json")
-      if (Files.exists(snapPath)) {
-        val snap = table.snapshot(v)
-        def local(p: String) =
-          if (p.startsWith("file:")) Paths.get(java.net.URI.create(p).getPath)
-          else Paths.get(p)
-        table.files(snap).foreach { f =>
-          if (!liveFiles(f.path) && Files.deleteIfExists(local(f.path)))
-            filesDeleted += 1
-        }
-        snap.manifests.foreach { m =>
-          if (!liveManifests(m))
-            Files.deleteIfExists(Paths.get(table.dir, "_manifests", m))
-        }
-        Files.delete(snapPath)
-        snapsDeleted += 1
-      }
-    }
-    // drop now-empty data/v* dirs
+    // PLAN FULLY BEFORE DELETING ANYTHING: reading an old snapshot's files
+    // must never race this vacuum's own manifest deletions (a mid-loop
+    // interleave could crash on a just-deleted shared manifest and leave the
+    // table permanently un-vacuumable). Snapshots that reference manifests a
+    // PRIOR interrupted vacuum already removed are tolerated: their file
+    // lists are simply unknown, which only means some orphans survive until
+    // a later pass — never a wedge.
+    val oldSnaps = (0L until cutoff).filter(v =>
+      Files.exists(Paths.get(table.dir, "_snapshots", f"v$v%020d.json")))
+    val deadFiles = oldSnaps.flatMap { v =>
+      try table.files(table.snapshot(v)).map(_.path)
+      catch { case NonFatal(_) => Nil }
+    }.toSet -- liveFiles
+    val deadManifests = oldSnaps.flatMap { v =>
+      try table.snapshot(v).manifests catch { case NonFatal(_) => Nil }
+    }.toSet -- liveManifests
+
+    def local(p: String) =
+      if (p.startsWith("file:")) Paths.get(java.net.URI.create(p).getPath)
+      else Paths.get(p)
+    // deletion order: data files, then manifests, then snapshots — a crash
+    // at any point leaves only orphans (re-collected next run), never a
+    // retained snapshot with a missing manifest
+    val filesDeleted = deadFiles.count(p => Files.deleteIfExists(local(p)))
+    deadManifests.foreach(m =>
+      Files.deleteIfExists(Paths.get(table.dir, "_manifests", m)))
+    val snapsDeleted = oldSnaps.count(v =>
+      Files.deleteIfExists(Paths.get(table.dir, "_snapshots", f"v$v%020d.json")))
+    // drop now-empty data/v* dirs (streams closed promptly: fd per dir)
     val dataDir = Paths.get(table.dir, "data")
     if (Files.isDirectory(dataDir)) {
-      Files.list(dataDir).iterator().asScala.toList.foreach { d =>
-        if (Files.isDirectory(d) &&
-            !Files.list(d).iterator().asScala.exists(_ => true))
-          Files.deleteIfExists(d)
+      val top = Files.list(dataDir)
+      val dirs = try top.iterator().asScala.toList finally top.close()
+      dirs.foreach { d =>
+        if (Files.isDirectory(d)) {
+          val s = Files.list(d)
+          val empty = try !s.iterator().hasNext finally s.close()
+          if (empty) Files.deleteIfExists(d)
+        }
       }
     }
     (filesDeleted, snapsDeleted)

@@ -97,9 +97,14 @@ final case class MergeOptions(
       * ~(1 + 1/r) log_{1+r}(N) row-writes per ingested row while reads fan
       * in at most (1 + r) x base bytes between folds */
     morCompactDeltaRatio: Double = 2.0,
-    /** MoR: ... or when delta file count alone exceeds this (bounds read fan-in
-      * even when the base is huge) */
-    morCompactMaxDeltaFiles: Int = 64)
+    /** MoR: ... or when delta file count alone exceeds this (bounds read
+      * fan-in even when the base is huge). Sized well above files-per-epoch
+      * (up to 2x cores): a threshold near the per-epoch file count would
+      * fire every couple of epochs and rewrite the base each time — O(T^2)
+      * total writes instead of the ratio trigger's logarithmic amortization,
+      * and worse on wider clusters. 1024 files = tens of epochs of fan-in,
+      * with the row-ratio trigger remaining the primary policy. */
+    morCompactMaxDeltaFiles: Int = 1024)
 
 sealed trait ResolveStrategy
 object ResolveStrategy {

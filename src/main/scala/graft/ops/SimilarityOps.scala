@@ -62,8 +62,25 @@ object SimilarityOps {
    */
   private val shingleCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, Any), DataFrame]
+  private val ShingleCacheMax = 8
 
   private def explodedShingles(d: DataFrame): DataFrame = {
+    // bounded: past the cap, evict EVERYTHING with unpersist — and drop
+    // entries of stopped sessions eagerly, so a long-lived JVM cycling
+    // through sessions or corpora never accumulates unreclaimed
+    // disk-backed blocks or pins dead SparkSessions
+    shingleCache.forEach { (k, v) =>
+      if (k._1.sparkContext.isStopped) {
+        shingleCache.remove(k); ()
+      }
+    }
+    if (shingleCache.size >= ShingleCacheMax) {
+      shingleCache.forEach { (k, v) =>
+        try v.unpersist() catch { case _: Exception => () }
+        shingleCache.remove(k)
+        ()
+      }
+    }
     val key = (d.sparkSession, d.queryExecution.analyzed.canonicalized)
     shingleCache.computeIfAbsent(key, _ =>
       // two-step projection: materialize the token array as a column FIRST.

@@ -97,7 +97,10 @@ object CdcIngestJob {
 
   def start(spark: SparkSession, cfg: IngestConfig, trigger: Trigger): StreamingQuery = {
     if (!LakeTable.exists(cfg.tableDir))
-      LakeTable.create(cfg.tableDir, payloadSchema(cfg.schema))
+      // the merge key comes from the caller's merge options — creating with
+      // a different key would fail (or corrupt pruning) on the first epoch
+      LakeTable.create(cfg.tableDir, payloadSchema(cfg.schema),
+        cfg.mergeOptions.keyCols)
     cfg.maxPartitionBytes.foreach(b =>
       spark.conf.set("spark.sql.files.maxPartitionBytes", b))
     val id = ckptId(cfg.checkpointDir)
