@@ -107,6 +107,31 @@ class StreamingReplaySpec extends AnyFunSuite {
     assert(LakeTable.load(tableDir).payloadSchema.fieldNames.contains("tool_meta"))
   }
 
+  test("custom merge key: streaming ingest creates the table with cfg's keyCols") {
+    import org.apache.spark.sql.types._
+    import graft.merge.{MergeMode, MergeOptions}
+    import spark.implicits._
+    val work = TestSpark.tmpDir("stream-customkey")
+    val schema = StructType(Seq(
+      StructField("op", StringType), StructField("lsn", LongType),
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("ts", TimestampType)))
+    Seq(("I", 1L, 10L, "a", java.sql.Timestamp.valueOf("2025-01-01 00:00:00")),
+      ("U", 2L, 10L, "b", java.sql.Timestamp.valueOf("2025-01-01 00:00:01")),
+      ("I", 3L, 11L, "c", java.sql.Timestamp.valueOf("2025-01-01 00:00:02")))
+      .toDF("op", "lsn", "id", "v", "ts")
+      .coalesce(1).write.parquet(s"$work/wal")
+    CdcIngestJob.runAvailableNow(spark, IngestConfig(
+      s"$work/wal", s"$work/table", s"$work/ckpt", schema = schema,
+      mergeOptions = MergeOptions(keyCols = Seq("id"),
+        mode = MergeMode.Mor)))
+    val table = LakeTable.load(s"$work/table")
+    assert(table.currentSnapshot.keyCols == List("id"))
+    val got = table.read(spark).collect()
+      .map(r => r.getLong(r.fieldIndex("id")) -> r.getString(r.fieldIndex("v"))).toMap
+    assert(got == Map(10L -> "b", 11L -> "c"))
+  }
+
   test("delete-after-read: consumed WAL files are removed, state still exact") {
     // the reference S3Reader's delete-after-read mode
     // (/root/reference/processors/s3_reader.go) = file-source cleanSource
