@@ -186,10 +186,13 @@ object Bench {
       } + "\""
       val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
         .mkString("{", ",", "}")
-      // failed queries are EXCLUDED from the headline total: a crash's fast
-      // failure time must not read as a speedup to any consumer comparing
-      // only "value" across rounds
-      val total = results.collect { case (_, t, None) => t }.sum
+      // fail LOUD in the headline: any query error makes "value" -1 — a
+      // consumer comparing only the headline across rounds can neither see a
+      // crash as a speedup (excluding its time would) nor as a slowdown;
+      // the per-query map + query_errors carry the detail
+      val total =
+        if (results.exists(_._3.isDefined)) -1.0
+        else results.map(_._2).sum
       println(
         f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_errors":$errs,"sf":"$sfDir","ingest":{"events":$nEvents,"cores_lo":$coresLo,"events_per_sec_lo":$epsLo%.0f,"cores_hi":$cpus,"events_per_sec_hi":$epsHi%.0f,"scaling_efficiency":$eff%.3f,"cpu_calib_efficiency":$calibEff%.3f,"scaling_efficiency_hw_normalized":$effNorm%.3f,"final_state_verified":$verified}}""")
     } finally {

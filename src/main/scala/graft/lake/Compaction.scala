@@ -137,7 +137,12 @@ object Compaction {
     val current = table.currentVersion
     val cutoff = current - retainVersions + 1
     if (cutoff <= 0) return (0, 0)
-    val retained = (cutoff to current).map(table.snapshot)
+    // a retained-window version may itself be missing (an earlier vacuum ran
+    // with a smaller window); a gone snapshot references nothing, so it
+    // simply contributes no liveness
+    val retained = (cutoff to current)
+      .filter(v => Files.exists(Paths.get(table.dir, "_snapshots", f"v$v%020d.json")))
+      .map(table.snapshot)
     val liveFiles = retained.flatMap(s => table.files(s).map(_.path)).toSet
     val liveManifests = retained.flatMap(_.manifests).toSet
 

@@ -360,16 +360,8 @@ object MergeInto {
    * sampler assigns hot key ranges more partitions; rows equal on the whole
    * tuple are bounded by the per-key update count within one epoch.
    */
-  def resolveSortDedup(union: DataFrame, keyCols: Seq[String], nOut: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val kc = keyCols.map(col)
-    val win = Window.partitionBy(kc: _*).orderBy(col(LsnCol).desc)
-    union
-      .repartitionByRange(nOut, kc: _*)
-      .sortWithinPartitions(kc :+ col(LsnCol).desc: _*)
-      .withColumn("_rn", row_number().over(win))
-      .filter(col("_rn") === 1).drop("_rn")
-  }
+  def resolveSortDedup(union: DataFrame, keyCols: Seq[String], nOut: Int): DataFrame =
+    dedupAfterExchange(union.repartitionByRange(nOut, keyCols.map(col): _*), keyCols)
 
   /**
    * Same single-shuffle dedup with a HASH exchange instead of range: no
@@ -381,12 +373,16 @@ object MergeInto {
    * Deterministic: hash placement and in-partition order are functions of
    * the data only.
    */
-  def resolveHashDedup(union: DataFrame, keyCols: Seq[String], nOut: Int): DataFrame = {
+  def resolveHashDedup(union: DataFrame, keyCols: Seq[String], nOut: Int): DataFrame =
+    dedupAfterExchange(union.repartition(nOut, keyCols.map(col): _*), keyCols)
+
+  /** The shared in-partition dedup pipeline: both exchanges above satisfy
+    * the window's ClusteredDistribution, so no further shuffle appears. */
+  private def dedupAfterExchange(exchanged: DataFrame, keyCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val kc = keyCols.map(col)
     val win = Window.partitionBy(kc: _*).orderBy(col(LsnCol).desc)
-    union
-      .repartition(nOut, kc: _*)
+    exchanged
       .sortWithinPartitions(kc :+ col(LsnCol).desc: _*)
       .withColumn("_rn", row_number().over(win))
       .filter(col("_rn") === 1).drop("_rn")

@@ -132,16 +132,23 @@ object Multimodal {
       try {
         val fmt = in.getFormat
         require(fmt.getSampleSizeInBits == 16, "PCM16 expected")
+        val channels = fmt.getChannels
+        require(channels >= 1, "channel count")
         val data = in.readAllBytes()
-        val n = data.length / 2
+        // multichannel: frames are interleaved; features come from channel 0
+        // (mixing L/R into one stream would corrupt the zero-crossing rate —
+        // sign flips between uncorrelated channels converge to 0.5)
+        val frameBytes = 2 * channels
+        val n = data.length / frameBytes
         var i = 0
         var sumSq = 0.0
         var crossings = 0L
         var prev = 0
         val bigEndian = fmt.isBigEndian
         while (i < n) {
-          val lo = data(2 * i + (if (bigEndian) 1 else 0)) & 0xFF
-          val hi = data(2 * i + (if (bigEndian) 0 else 1))
+          val base = i * frameBytes
+          val lo = data(base + (if (bigEndian) 1 else 0)) & 0xFF
+          val hi = data(base + (if (bigEndian) 0 else 1))
           val s = (hi << 8) | lo
           sumSq += s.toDouble * s
           if (i > 0 && ((s ^ prev) < 0)) crossings += 1
@@ -204,27 +211,55 @@ object Multimodal {
 
   /**
    * REAL video path: Motion-JPEG streams (concatenated JPEG frames — the
-   * format IP cameras and .mjpeg files emit). Frame boundaries come from the
-   * JPEG SOI/EOI markers (inside a well-formed JPEG an 0xFF in entropy data
-   * is always escaped, so SOI/EOI only appear as real markers); every k-th
-   * frame is decoded through the SAME image kernel (`decodeImage`). This is
-   * the frame-sample -> decode -> feature pipeline the brief asks for, with
-   * the container parsing and sampling genuinely distributed.
+   * format IP cameras and .mjpeg files emit). Frames are delimited by a
+   * proper JPEG SEGMENT WALK, not a byte scan: length-delimited marker
+   * segments (APPn/DQT/SOF/...) are skipped by their declared length —
+   * essential because APP1/EXIF payloads embed *nested JPEG thumbnails*
+   * whose SOI/EOI are NOT entropy-escaped and would fool a naive scanner —
+   * and entropy-coded data after SOS is scanned for the next true marker
+   * (0xFF00 stuffing and RST0-7 skipped). Every k-th frame then decodes
+   * through the SAME image kernel (`decodeImage`).
    */
   def splitMjpegFrames(bytes: Array[Byte]): Vector[Array[Byte]] = {
     val out = Vector.newBuilder[Array[Byte]]
+    def u8(i: Int) = bytes(i) & 0xFF
+    def segLen(i: Int) = ((u8(i) << 8) | u8(i + 1)) // includes its own 2 bytes
     var i = 0
-    var start = -1
-    while (i + 1 < bytes.length) {
-      if ((bytes(i) & 0xFF) == 0xFF) {
-        val m = bytes(i + 1) & 0xFF
-        if (m == 0xD8) { if (start < 0) start = i }
-        else if (m == 0xD9 && start >= 0) {
-          out += java.util.Arrays.copyOfRange(bytes, start, i + 2)
-          start = -1
+    val n = bytes.length
+    while (i + 3 < n) {
+      // find next SOI
+      if (u8(i) == 0xFF && u8(i + 1) == 0xD8) {
+        val start = i
+        var p = i + 2
+        var end = -1
+        var bad = false
+        while (end < 0 && !bad && p + 1 < n) {
+          if (u8(p) != 0xFF) { bad = true }
+          else u8(p + 1) match {
+            case 0xD9 => end = p + 2 // EOI
+            case 0xDA => // SOS: skip header, then entropy data to next marker
+              if (p + 3 >= n) bad = true
+              else {
+                p += 2 + segLen(p + 2)
+                var done = false
+                while (!done && p + 1 < n) {
+                  if (u8(p) == 0xFF && u8(p + 1) != 0x00 &&
+                      !(u8(p + 1) >= 0xD0 && u8(p + 1) <= 0xD7)) done = true
+                  else p += 1
+                }
+                if (!done) bad = true
+              }
+            case 0xFF => p += 1 // fill byte before a marker
+            case m if m == 0x01 || (m >= 0xD0 && m <= 0xD7) => p += 2 // bare markers
+            case _ => // length-delimited segment (APPn, DQT, SOF, DHT, ...)
+              if (p + 3 >= n) bad = true else p += 2 + segLen(p + 2)
+          }
         }
-      }
-      i += 1
+        if (end > 0) {
+          out += java.util.Arrays.copyOfRange(bytes, start, end)
+          i = end
+        } else i += 2 // corrupt frame: resync on the next SOI
+      } else i += 1
     }
     out.result()
   }

@@ -65,23 +65,24 @@ object SimilarityOps {
   private val ShingleCacheMax = 8
 
   private def explodedShingles(d: DataFrame): DataFrame = {
-    // bounded: past the cap, evict EVERYTHING with unpersist — and drop
-    // entries of stopped sessions eagerly, so a long-lived JVM cycling
-    // through sessions or corpora never accumulates unreclaimed
+    // bounded: past the cap, evict everything EXCEPT the requested entry
+    // (flushing a hot entry would force a pointless ~seconds recompute) —
+    // and drop entries of stopped sessions eagerly, so a long-lived JVM
+    // cycling through sessions or corpora never accumulates unreclaimed
     // disk-backed blocks or pins dead SparkSessions
+    val key = (d.sparkSession, d.queryExecution.analyzed.canonicalized)
     shingleCache.forEach { (k, v) =>
       if (k._1.sparkContext.isStopped) {
         shingleCache.remove(k); ()
       }
     }
-    if (shingleCache.size >= ShingleCacheMax) {
+    if (shingleCache.size >= ShingleCacheMax && !shingleCache.containsKey(key)) {
       shingleCache.forEach { (k, v) =>
         try v.unpersist() catch { case _: Exception => () }
         shingleCache.remove(k)
         ()
       }
     }
-    val key = (d.sparkSession, d.queryExecution.analyzed.canonicalized)
     shingleCache.computeIfAbsent(key, _ =>
       // two-step projection: materialize the token array as a column FIRST.
       // Referencing the tokenizer expression inside the shingle lambda would

@@ -272,6 +272,41 @@ class OpsSpec extends AnyFunSuite {
     assert(fts.find(_.doc_id == 999L).exists(f => f.n_frames == 0 && f.n_sampled == 0))
   }
 
+  test("MJPEG split survives EXIF-style nested JPEG thumbnails") {
+    import Multimodal._
+    // build a frame whose APP1 payload embeds a COMPLETE nested JPEG — the
+    // camera-EXIF case where a naive SOI/EOI byte scan splits mid-frame
+    def jpegBytes(level: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 16).foreach(y => (0 until 16).foreach(x =>
+        img.setRGB(x, y, (level << 16) | (level << 8) | level)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val outer = jpegBytes(128)
+    val thumb = jpegBytes(64)
+    val app1Len = thumb.length + 2
+    require(app1Len < 65536)
+    val buf = new java.io.ByteArrayOutputStream()
+    buf.write(outer, 0, 2) // SOI
+    buf.write(0xFF); buf.write(0xE1) // APP1
+    buf.write((app1Len >> 8) & 0xFF); buf.write(app1Len & 0xFF)
+    buf.write(thumb) // nested complete JPEG inside the segment payload
+    buf.write(outer, 2, outer.length - 2) // rest of the real frame
+    val frame = buf.toByteArray
+    // 3-frame stream: exif-frame, plain, exif-frame
+    val stream = new java.io.ByteArrayOutputStream()
+    stream.write(frame); stream.write(jpegBytes(200)); stream.write(frame)
+    val frames = splitMjpegFrames(stream.toByteArray)
+    assert(frames.size == 3, s"nested thumbnail broke the split: ${frames.size}")
+    // every split frame still decodes, with the OUTER image's brightness
+    val lumas = frames.map(f => decodeImage(f).get._3)
+    assert(math.abs(lumas(0).sum / 64 - 128 / 255.0) < 0.03)
+    assert(math.abs(lumas(1).sum / 64 - 200 / 255.0) < 0.03)
+  }
+
   test("image near-dup: thumbnail features feed the ANN operators") {
     import Multimodal._
     // pairs of visually identical images (same seed) under different ids:

@@ -149,9 +149,14 @@ class StreamingReplaySpec extends AnyFunSuite {
     CdcIngestJob.runAvailableNow(spark,
       IngestConfig(s"$work/wal", s"$work/table", s"$work/ckpt",
         maxFilesPerTrigger = Some(2), cleanSource = "delete"))
-    // cleanup is asynchronous per micro-batch; AvailableNow runs enough
-    // batches that all but the last batch's files must be gone
-    val after = walFiles()
+    // cleanup runs on an async cleaner pool; poll briefly rather than racing
+    // the query-termination edge
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    var after = walFiles()
+    while (after >= before && System.nanoTime() < deadline) {
+      Thread.sleep(250)
+      after = walFiles()
+    }
     assert(after < before,
       s"cleanSource=delete left all $before files in place")
     // and the ingested state is still the full fold oracle
