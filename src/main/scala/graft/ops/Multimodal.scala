@@ -379,11 +379,14 @@ object Multimodal {
         round(col("zero_cross_rate"), 4).as("zcr"))
   }
 
-  /** Real video pipeline: MJPEG sample-every-3rd -> decode -> luma stats. */
+  /** Real video pipeline: MJPEG sample-every-3rd -> decode -> luma stats.
+    * Corpus capped to 1-in-5 docs: the dominant cost of this query is
+    * ENCODING the synthetic MJPEGs (9 JPEG writes per doc), which is test
+    * scaffolding, not the operator under test. */
   def videoFeatureQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = s.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id")).as[Long]
+      .select(col("doc_id")).filter(col("doc_id") % 5 === 0).as[Long]
       .map(id => MediaRow(id, "video/x-motion-jpeg", syntheticMjpeg(id)))
     extractVideoFeatures(media, everyK = 3)
       .select(col("doc_id"), col("n_frames"), col("n_sampled"),
