@@ -60,37 +60,45 @@ object SimilarityOps {
    * MEMORY_AND_DISK copy per call — disk-backed blocks are not LRU-reclaimed,
    * so per-call persists would accumulate for the session's lifetime.
    */
-  private val shingleCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Any), DataFrame]
   private val ShingleCacheMax = 8
+  /** access-ordered LRU: eviction unpersists only the COLDEST entry instead
+    * of flushing the whole cache (a mass flush forces ~seconds of pointless
+    * recompute for every hot corpus still in use).
+    *
+    * Staleness contract: the key is the ANALYZED plan, which pins the file
+    * listing captured at `spark.read` time — rewriting the files behind the
+    * same path mid-session and re-reading through a still-cached plan is not
+    * supported (the lake/table paths version their data directories instead
+    * of rewriting in place, so the engine's own sources never hit this). */
+  private val shingleCache =
+    new java.util.LinkedHashMap[(SparkSession, Any), DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, Any), DataFrame]): Boolean = {
+        val evict = size() > ShingleCacheMax
+        if (evict) { try e.getValue.unpersist() catch { case _: Exception => () } }
+        evict
+      }
+    }
 
-  private def explodedShingles(d: DataFrame): DataFrame = {
-    // bounded: past the cap, evict everything EXCEPT the requested entry
-    // (flushing a hot entry would force a pointless ~seconds recompute) —
-    // and drop entries of stopped sessions eagerly, so a long-lived JVM
-    // cycling through sessions or corpora never accumulates unreclaimed
-    // disk-backed blocks or pins dead SparkSessions
+  private def explodedShingles(d: DataFrame): DataFrame = shingleCache.synchronized {
+    // drop entries of stopped sessions eagerly, so a long-lived JVM cycling
+    // through sessions or corpora never accumulates unreclaimed disk-backed
+    // blocks or pins dead SparkSessions
     val key = (d.sparkSession, d.queryExecution.analyzed.canonicalized)
-    shingleCache.forEach { (k, v) =>
-      if (k._1.sparkContext.isStopped) {
-        shingleCache.remove(k); ()
-      }
-    }
-    if (shingleCache.size >= ShingleCacheMax && !shingleCache.containsKey(key)) {
-      shingleCache.forEach { (k, v) =>
-        try v.unpersist() catch { case _: Exception => () }
-        shingleCache.remove(k)
-        ()
-      }
-    }
-    shingleCache.computeIfAbsent(key, _ =>
+    val it = shingleCache.entrySet().iterator()
+    while (it.hasNext) { if (it.next().getKey._1.sparkContext.isStopped) it.remove() }
+    var cached = shingleCache.get(key)
+    if (cached == null) {
       // two-step projection: materialize the token array as a column FIRST.
       // Referencing the tokenizer expression inside the shingle lambda would
       // re-run the whole regexp extraction per element access — O(tokens^2)
       // regex work per document (measured 3-4x the entire query's time).
-      d.select(col("doc_id"), toks.as("_tk"))
+      cached = d.select(col("doc_id"), toks.as("_tk"))
         .select(col("doc_id"), explode(shingles(col("_tk"))).as("s"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      shingleCache.put(key, cached)
+    }
+    cached
   }
 
   /** doc_id -> exploded rare shingles (df-capped) + per-doc sizes */
@@ -239,7 +247,13 @@ object SimilarityOps {
     * executor. Verification is candidate-pair-driven (two joins against the
     * exploded shingles), so its cost is linear in candidates * doc size even
     * when the corpus is one giant duplicate class — a shingle-grouped pair
-    * expansion would square in the duplicate count there. */
+    * expansion would square in the duplicate count there.
+    *
+    * Recall contract: over-cap buckets report a spanning CHAIN of the
+    * duplicate class (every emitted pair still exact-verified), not every
+    * pair — downstream dedup should group candidates by connected component.
+    * Consumers that need all pairs must pass `bandBucketCap = Int.MaxValue`
+    * and accept the O(bucket^2) cost. */
   def minhashPairs(d: DataFrame, threshold: Double, numPerms: Int = 32,
       bands: Int = 16, bandBucketCap: Int = 64): DataFrame = {
     val ex = explodedShingles(d)
@@ -286,21 +300,31 @@ object SimilarityOps {
     agg.select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: 4x16-bit bands, verified hamming <= maxHamming. */
-  def simhashPairs(d: DataFrame, maxHamming: Int = 8): DataFrame = {
+  /** SimHash near-dup pairs: 4x16-bit bands, verified hamming <= maxHamming.
+    *
+    * Same candidate-volume bound as [[minhashPairs]]: band buckets above
+    * `bandBucketCap` (mass duplicates collapsing into one signature) degrade
+    * to consecutive-chain pairs — O(bucket) candidates, duplicate class kept
+    * connected — instead of an O(bucket^2) self-join blowup. Recall contract:
+    * over-cap buckets report a spanning chain of the duplicate class, not
+    * every pair; consumers needing ALL pairs must pass
+    * `bandBucketCap = Int.MaxValue` and accept the quadratic cost. */
+  def simhashPairs(d: DataFrame, maxHamming: Int = 8,
+      bandBucketCap: Int = 64): DataFrame = {
     val sh = simhash(d)
     val bandCols = (0 until 4).map(b => struct(lit(b).as("band"),
       shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("sig")))
-    val buckets = sh.select(col("doc_id"), col("simhash"),
+    val buckets = sh.select(col("doc_id"),
       explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"),
-        col("bk.sig").as("sig"))
-    buckets.as("a").join(buckets.as("b"),
-      col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val cands = pairsWithinGroups(buckets, Seq("band", "sig"), bandBucketCap)
       .distinct()
+    // verification joins re-attach the signatures to the candidate pairs
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -308,8 +332,17 @@ object SimilarityOps {
    * ANN via random-hyperplane LSH: 16-bit signature from deterministic
    * pseudo-random hyperplanes (hash-derived, no RNG state), exact cosine
    * re-rank within each bucket, top-k per query.
+   *
+   * `bucketCap` bounds the NEIGHBOR side of every signature bucket (rank by
+   * vec_id — deterministic): join output is O(n * bucketCap) even when a
+   * low-variance corpus collapses into one signature bucket, where the
+   * uncapped self-join goes O(n^2). Recall contract: vectors ranked past the
+   * cap inside a mass-duplicate bucket are not offered as neighbors — for
+   * near-identical members (the only way a bucket gets that big) the capped
+   * candidates carry the same similarity, so top-k quality is unaffected.
    */
-  def embedLshTopK(e0: DataFrame, k: Int, sigBits: Int = 16): DataFrame = {
+  def embedLshTopK(e0: DataFrame, k: Int, sigBits: Int = 16,
+      bucketCap: Int = 1024): DataFrame = {
     val e = e0.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     // hyperplane j component d = centered hash noise in [-1, 1)
     def plane(j: Int): Column = transform(
@@ -320,7 +353,12 @@ object SimilarityOps {
       when(dot(col("emb"), plane(j)) > 0, shiftleft(lit(1), j)).otherwise(lit(0)))
       .reduce((a, b) => a.bitwiseOR(b))
     val bucketed = e.withColumn("bucket", sig)
-    val pairs = bucketed.as("a").join(bucketed.as("b"),
+    // neighbor side capped per bucket; the window sort is external/spillable,
+    // so even a single whole-corpus bucket is O(n log n) and never OOMs
+    val wb = Window.partitionBy(col("bucket")).orderBy(col("vec_id"))
+    val nbrs = bucketed.withColumn("_rnb", row_number().over(wb))
+      .filter(col("_rnb") <= bucketCap).drop("_rnb")
+    val pairs = bucketed.as("a").join(nbrs.as("b"),
       col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
         cosine(col("a.emb"), col("b.emb")).as("sim_raw"))
@@ -330,36 +368,61 @@ object SimilarityOps {
   }
 
   /**
-   * Deterministic k-means centroids for IVF: first-k-by-id init, then
-   * `iters` Lloyd rounds. Each round is two distributed passes — a broadcast
-   * argmax-cosine assignment (no corpus shuffle) and a per-(cluster, dim)
-   * mean via posexplode + hash aggregate — with only the k x dim centroid
-   * table ever collected to the driver. Deterministic (no RNG): same input
-   * -> same centroids -> reproducible bucketing.
+   * Deterministic k-means centroids for IVF, trained on a BOUNDED sample:
+   * one distributed pass selects the `sampleCap` lowest-(hash, id) vectors
+   * (TakeOrdered — hash order decorrelates the sample from id locality, the
+   * unique id tiebreak makes the selection a pure function of the data), then
+   * all `iters` Lloyd rounds run sequentially on the driver over that sample.
+   *
+   * Why local: coarse-quantizer quality needs only a sample (IVF recall is
+   * governed by nProbe, not centroid micro-precision), while full-corpus
+   * Lloyd costs 2 distributed passes PER ROUND — at 100 TB that is the
+   * dominant build cost, and distributed double summation made the result
+   * partition-order dependent. The local fold is sequential in sorted id
+   * order, so the centroids are bit-identical at any parallelism.
+   *
+   * Empty clusters keep their previous centroid (k never silently shrinks);
+   * argmax ties break to the lowest cluster index.
    */
-  def kmeansCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kmeansCentroids(e: DataFrame, k: Int, iters: Int,
+      sampleCap: Int = 4096): DataFrame = {
     val spark = e.sparkSession
-    var cents = e.orderBy(col("vec_id")).limit(k)
-      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
-    for (_ <- 0 until iters) {
-      val assigned = e.crossJoin(broadcast(cents))
-        .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("cid"), col("emb")), cosine(col("emb"), col("cemb"))).as("a"))
-        .select(col("a.cid").as("cid"), col("a.emb").as("emb"))
-      val means = assigned
-        .select(col("cid"), posexplode(col("emb")).as(Seq("pos", "v")))
-        .groupBy(col("cid"), col("pos")).agg(avg(col("v")).as("m"))
-        .groupBy(col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m")).as("cemb"))
-      // materialize between rounds: keeps the plan flat (each round would
-      // otherwise re-execute all prior rounds) — k x dim doubles only
-      val local = means.collect().map(r =>
-        (r.getLong(0), r.getSeq[Double](1)))
-      import spark.implicits._
-      cents = local.toSeq.toDF("cid", "cemb")
+    val sample = e.select(col("vec_id"), col("emb"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(sampleCap)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(sample.nonEmpty, "kmeansCentroids: empty input")
+    val vecs = sample.map(_._2)
+    val kk = math.min(k, vecs.length)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) -1.0 else d / den
     }
-    cents
+    var cents: Array[Array[Double]] = vecs.take(kk).map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(kk)(new Array[Double](vecs.head.length))
+      val counts = new Array[Long](kk)
+      vecs.foreach { v =>
+        var best = 0; var bestSim = cos(v, cents(0)); var c = 1
+        while (c < kk) {
+          val s = cos(v, cents(c))
+          if (s > bestSim) { best = c; bestSim = s } // tie -> lowest index
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0; while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(kk) { c =>
+        if (counts(c) == 0L) cents(c) // empty cluster: keep previous centroid
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    import spark.implicits._
+    cents.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toSeq.toDF("cid", "cemb")
   }
 
   /**

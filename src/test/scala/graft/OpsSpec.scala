@@ -51,6 +51,53 @@ class OpsSpec extends AnyFunSuite {
     assert(touched == 5000L, s"duplicate class not fully connected: $touched")
   }
 
+  test("simhash pairs survive a mass-duplicate corpus with capped candidate volume") {
+    // 5000 identical docs: one simhash value, so every one of the 4 band
+    // buckets holds the whole corpus. The cap degrades each bucket to a
+    // consecutive chain (identical chains across bands, distinct()-folded):
+    // exactly n-1 hamming-0 edges, class connected, candidate volume O(n).
+    val docs = spark.range(0, 5000).select(col("id").as("doc_id"),
+      lit("the same boilerplate text repeated for every single document " +
+        "in this degenerate corpus of mass duplicates").as("text"))
+    val pairs = SimilarityOps.simhashPairs(docs, maxHamming = 8)
+    assert(pairs.count() == 4999L)
+    assert(pairs.filter(col("hamming") =!= 0).count() == 0)
+    val touched = pairs.select(explode(array(col("doc_a"), col("doc_b"))))
+      .distinct().count()
+    assert(touched == 5000L, s"duplicate class not fully connected: $touched")
+  }
+
+  test("embedding LSH ANN survives a single-bucket corpus (capped neighbors)") {
+    // 2000 identical vectors collapse into ONE signature bucket; the
+    // neighbor-side cap bounds the join at n * bucketCap instead of n^2,
+    // and since all members are identical, every query still gets a
+    // perfect-similarity top-1.
+    val one = Array.fill(8)(0.5f)
+    val df = spark.range(0, 2000).select(col("id").as("vec_id"),
+      typedLit(one.toSeq).as("embedding"))
+    val top1 = SimilarityOps.embedLshTopK(df, k = 1, sigBits = 16, bucketCap = 64)
+      .collect()
+    assert(top1.length == 2000)
+    assert(top1.forall(_.getDouble(2) >= 0.9999))
+  }
+
+  test("IVF k-means centroids are identical at any partitioning") {
+    val dim = 16
+    def vec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextGaussian())
+    }
+    val rows = (0 until 300).map(i => (i.toLong, vec(i)))
+    def centsOf(parts: Int): Seq[(Long, Seq[Double])] = {
+      val df = rows.toDF("vec_id", "emb").repartition(parts)
+      SimilarityOps.kmeansCentroids(df, k = 8, iters = 3)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    }
+    // bit-identical across partition layouts: the Lloyd fold is driver-local
+    // over a deterministically selected sample
+    assert(centsOf(2) == centsOf(13))
+  }
+
   test("binaryFile source delivers exact file bytes (md5 vs direct read)") {
     // content checksum can't be DuckDB-oracled (no blob hash in 1.0), so the
     // byte fidelity of the whole-file source is asserted here instead
