@@ -54,7 +54,7 @@ object Compaction {
     val rows = small.map(_.rows).sum
     val nOut = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
     val newVersion = snap.version + 1
-    val outDir = s"${table.dir}/data/v$newVersion"
+    val outDir = table.newDataDir(newVersion)
 
     spark.read.schema(schema).parquet(small.map(_.path): _*)
       .repartitionByRange(nOut, keyCols.map(col): _*)
@@ -90,7 +90,7 @@ object Compaction {
       estRows / minRowsPerFile)
     val nOut = math.max(1L, math.max(bySize, byPar)).toInt
     val newVersion = snap.version + 1
-    val outDir = s"${table.dir}/data/v$newVersion"
+    val outDir = table.newDataDir(newVersion)
 
     graft.merge.MergeInto.resolveSortDedup(
       spark.read.schema(schema).parquet(all.map(_.path): _*), snap.keyCols, nOut)

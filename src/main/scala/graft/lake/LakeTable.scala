@@ -1,6 +1,6 @@
 package graft.lake
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 import java.nio.charset.StandardCharsets
 
 import scala.jdk.CollectionConverters._
@@ -75,7 +75,14 @@ final case class Snapshot(
     /** manifest file names under dir/_manifests (contents immutable) */
     manifests: List[String],
     /** exactly-once ledger: highest applied epochId per checkpointId */
-    epochHwm: Map[String, Long]) {
+    epochHwm: Map[String, Long],
+    /** on-disk layout version — see [[LakeTable.FormatVersion]]. The default
+      * only feeds SERIALIZATION of newly built snapshots; reads go through a
+      * presence check that fails loudly on missing/unknown versions (json4s
+      * would otherwise default a missing collection field to empty and
+      * silently read an incompatible table as EMPTY — losing the epoch
+      * ledger and re-applying replayed epochs). */
+    formatVersion: Int = LakeTable.FormatVersion) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 }
 
@@ -83,6 +90,9 @@ object LakeTable {
   val LsnCol = "_lsn"
   val DeletedCol = "_deleted"
   val MetaCols: Seq[String] = Seq(LsnCol, DeletedCol)
+  /** current snapshot-JSON layout (2 = keyCols/manifests/epochHwm form;
+    * 1 was the round-1 files/epochs form, no longer readable) */
+  val FormatVersion = 2
   private implicit val fmts: Formats = DefaultFormats
 
   /** fold the manifest list into one once it exceeds this */
@@ -92,6 +102,9 @@ object LakeTable {
     * wholesale if it ever grows silly (compaction orphans old entries). */
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[String, List[DataFile]]
+
+  private[lake] val nonceCounter =
+    new java.util.concurrent.atomic.AtomicLong(System.nanoTime() >>> 8)
 
   def metaFields: Seq[StructField] = Seq(
     StructField(LsnCol, LongType, nullable = true),
@@ -138,8 +151,40 @@ final class LakeTable(val dir: String) {
 
   def snapshot(version: Long): Snapshot = {
     val p = snapDir.resolve(f"v$version%020d.json")
-    Serialization.read[Snapshot](
-      new String(Files.readAllBytes(p), StandardCharsets.UTF_8))(fmts, manifest[Snapshot])
+    if (!Files.exists(p)) {
+      // clear error surface instead of a NoSuchFileException (or, worse, a
+      // mid-scan FNF): the caller asked for history that retention removed
+      val earliest =
+        try Some(availableVersions.min) catch { case _: Exception => None }
+      throw new IllegalStateException(
+        s"snapshot v$version of $dir is not available" +
+          earliest.fold(" (table has no snapshots)")(e =>
+            if (version < e) s": vacuumed past the retention floor (earliest retained: v$e)"
+            else s" (latest: v$currentVersion)"))
+    }
+    val raw = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    // loud format gate BEFORE case-class extraction: json4s defaults missing
+    // collection fields to empty, so an old-layout snapshot would otherwise
+    // extract as an EMPTY table with a blank exactly-once ledger
+    val fv = org.json4s.jackson.JsonMethods.parse(raw) \ "formatVersion"
+    fv match {
+      case org.json4s.JInt(v) if v == FormatVersion => ()
+      case org.json4s.JInt(v) => throw new IllegalStateException(
+        s"$dir: snapshot v$version has formatVersion $v; this build reads " +
+          s"only $FormatVersion — migrate the table or use a matching build")
+      case _ => throw new IllegalStateException(
+        s"$dir: snapshot v$version carries no formatVersion (pre-v$FormatVersion " +
+          "layout); this build cannot read it — recreate or migrate the table")
+    }
+    Serialization.read[Snapshot](raw)(fmts, manifest[Snapshot])
+  }
+
+  /** snapshot versions still present on disk (vacuum removes old ones) */
+  def availableVersions: Seq[Long] = {
+    val s = Files.list(snapDir)
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && n.endsWith(".json")).map(versionOf).toList.sorted
+    finally s.close()
   }
 
   def currentSnapshot: Snapshot = snapshot(currentVersion)
@@ -183,52 +228,122 @@ final class LakeTable(val dir: String) {
    * Clean manifests carry over by name; dirty ones are rewritten without
    * their removed files; added files get one new manifest. Returns the
    * committed snapshot.
+   *
+   * Optimistic concurrency with DISJOINT-writer retry: losing a version race
+   * (e.g. compaction committing while ingest merges) reloads the head and
+   * re-commits there, provided the change set still applies — every removed
+   * path must still be present at the head and the epoch watermark must not
+   * have advanced past this epoch (either would mean the two writers touched
+   * the same files/ledger, which single-stream-per-checkpoint topology rules
+   * out but a misconfigured second stream would not). Schemas rebase by
+   * add-column merge. Manifest names carry a per-attempt nonce, so a losing
+   * attempt can never overwrite the winner's just-committed manifest.
    */
   def commitChange(
       base: Snapshot,
       schemaJson: String,
       removedPaths: Set[String],
       added: List[DataFile],
-      epoch: Option[(String, Long)]): Snapshot = {
-    val version = base.version + 1
-    val (clean, dirty) =
-      if (removedPaths.isEmpty) (base.manifests, Nil)
-      else base.manifests.partition(m => !readManifest(m).exists(f => removedPaths(f.path)))
-    val survivors = dirty.flatMap(readManifest).filterNot(f => removedPaths(f.path))
-    val newFiles = survivors ++ added
-    var manifests = clean
-    if (newFiles.nonEmpty) {
-      val name = f"m$version%020d.json"
-      writeManifest(name, newFiles)
-      manifests = clean :+ name
+      epoch: Option[(String, Long)],
+      maxRetries: Int = 5): Snapshot = {
+    var cur = base
+    var curSchemaJson = schemaJson
+    var attempt = 0
+    while (true) {
+      val version = cur.version + 1
+      val (clean, dirty) =
+        if (removedPaths.isEmpty) (cur.manifests, Nil)
+        else cur.manifests.partition(m => !readManifest(m).exists(f => removedPaths(f.path)))
+      val survivors = dirty.flatMap(readManifest).filterNot(f => removedPaths(f.path))
+      // a rebase shifts the commit version; CDC-out (`readChangesBetween`)
+      // selects delta files by addedAtVersion == commit version, so the
+      // added entries must carry the version they actually land at
+      val addedAt = added.map(a =>
+        if (a.addedAtVersion == version) a else a.copy(addedAtVersion = version))
+      val newFiles = survivors ++ addedAt
+      val written = scala.collection.mutable.ListBuffer.empty[String]
+      var manifests = clean
+      if (newFiles.nonEmpty) {
+        val name = f"m$version%020d-${nonce()}.json"
+        writeManifest(name, newFiles)
+        written += name
+        manifests = clean :+ name
+      }
+      if (manifests.size > ManifestCompactThreshold) {
+        val name = f"m$version%020d-${nonce()}-c.json"
+        writeManifest(name, manifests.flatMap(readManifest))
+        written += name
+        manifests = List(name)
+      }
+      val hwm = epoch.fold(cur.epochHwm) { case (ck, e) =>
+        cur.epochHwm.updated(ck, math.max(e, cur.epochHwm.getOrElse(ck, Long.MinValue)))
+      }
+      val next = Snapshot(version, cur.version, curSchemaJson, cur.keyCols, manifests, hwm)
+      try {
+        commit(next)
+        return next
+      } catch {
+        case e: IllegalStateException if attempt < maxRetries =>
+          // lost the race: drop this attempt's manifests (they are referenced
+          // by nothing), rebase onto the new head, validate disjointness
+          written.foreach { m =>
+            manifestCache.remove(manifestDir.resolve(m).toString)
+            Files.deleteIfExists(manifestDir.resolve(m)); ()
+          }
+          attempt += 1
+          val head = currentSnapshot
+          val headPaths = files(head).map(_.path).toSet
+          val missing = removedPaths.filterNot(headPaths)
+          if (missing.nonEmpty)
+            throw new IllegalStateException(
+              s"commit conflict is NOT disjoint: a concurrent commit already " +
+                s"removed ${missing.take(3).mkString(", ")}" +
+                (if (missing.size > 3) s" (+${missing.size - 3} more)" else ""), e)
+          epoch.foreach { case (ck, ep) =>
+            if (head.epochHwm.get(ck).exists(_ >= ep))
+              throw new IllegalStateException(
+                s"commit conflict on the epoch ledger: ($ck, $ep) was already " +
+                  "applied by a concurrent writer", e)
+          }
+          curSchemaJson = SchemaMerge.merge(head.schema,
+            DataType.fromJson(curSchemaJson).asInstanceOf[StructType]).json
+          cur = head
+      }
     }
-    if (manifests.size > ManifestCompactThreshold) {
-      val name = f"m$version%020d-c.json"
-      writeManifest(name, manifests.flatMap(readManifest))
-      manifests = List(name)
-    }
-    val hwm = epoch.fold(base.epochHwm) { case (ck, e) =>
-      base.epochHwm.updated(ck, math.max(e, base.epochHwm.getOrElse(ck, Long.MinValue)))
-    }
-    val next = Snapshot(version, base.version, schemaJson, base.keyCols, manifests, hwm)
-    commit(next)
-    next
+    throw new IllegalStateException("unreachable")
   }
 
+  /** process-unique manifest-name nonce; nanoTime-seeded so two JVMs writing
+    * the same table are collision-free in practice as well */
+  private def nonce(): String = f"${LakeTable.nonceCounter.incrementAndGet()}%012x"
+
+  /** Unique staging directory for one commit attempt's data files. The
+    * version hint is advisory (a rebased commit may land at a later
+    * version); the nonce is what matters — two concurrent writers staging
+    * with a bare `data/v{N}` would `overwrite`-delete each other's files
+    * mid-write. Manifests store absolute paths, so the name never needs to
+    * match the committed version. */
+  def newDataDir(versionHint: Long): String = s"$dir/data/v$versionHint-${nonce()}"
+
   /**
-   * Atomic commit: write-temp-then-rename of the next snapshot file. Fails if
-   * the target version already exists (single-writer optimistic concurrency).
+   * Atomic test-and-set commit of the next snapshot file: write a temp file,
+   * then hard-link it to the versioned name. link(2) is atomic AND fails if
+   * the target exists — unlike rename(2), which on POSIX silently REPLACES
+   * an existing file (ATOMIC_MOVE gives no exclusivity), so a version race
+   * would overwrite the winner's snapshot instead of failing. Losing the
+   * race raises IllegalStateException for `commitChange`'s rebase retry.
    */
   def commit(s: Snapshot): Unit = {
     val target = snapDir.resolve(f"v${s.version}%020d.json")
-    val tmp = snapDir.resolve(f".v${s.version}%020d.json.tmp")
+    val tmp = snapDir.resolve(f".v${s.version}%020d-${nonce()}.json.tmp")
     Files.write(tmp, Serialization.write(s)(fmts).getBytes(StandardCharsets.UTF_8))
-    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    try Files.createLink(target, tmp)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
         throw new IllegalStateException(
           s"concurrent commit detected at version ${s.version}", e)
+    } finally {
+      Files.deleteIfExists(tmp); ()
     }
   }
 

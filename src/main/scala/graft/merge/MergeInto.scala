@@ -252,7 +252,7 @@ object MergeInto {
       }
 
       val newVersion = snap.version + 1
-      val outDir = s"${table.dir}/data/v$newVersion"
+      val outDir = table.newDataDir(newVersion)
       val estRows = touched.map(_.rows).sum + bRows
       // File-count target, floored at 2x cluster parallelism: with few/large
       // target files the final sort+write would otherwise run as 1-2 tasks
@@ -321,11 +321,13 @@ object MergeInto {
       val footerMs = millisSince(tFooter)
 
       val tCommit = System.nanoTime()
-      table.commitChange(snap, storedSchema.json, touched.map(_.path).toSet,
-        newFiles, Some((ckptId, epochId)))
+      val committed = table.commitChange(snap, storedSchema.json,
+        touched.map(_.path).toSet, newFiles, Some((ckptId, epochId)))
       val commitMs = millisSince(tCommit)
 
-      val stats = MergeStats(ckptId, epochId, newVersion, bRows, bMinLsn, bMaxLsn,
+      // committed.version, not newVersion: a disjoint-writer commit retry
+      // (e.g. racing compaction) may land the epoch at a later version
+      val stats = MergeStats(ckptId, epochId, committed.version, bRows, bMinLsn, bMaxLsn,
         outputRows, bDeletes, touched.size, untouched.size, newFiles.size,
         millisSince(t0), statsMs, keysMs, writeMs, footerMs, commitMs,
         noop = false)

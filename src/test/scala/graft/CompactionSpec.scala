@@ -61,7 +61,11 @@ class CompactionSpec extends AnyFunSuite {
     assert(state() == before2, "vacuum must not change current contents")
     assert(table.currentFiles.size == liveCount)
     assert(table.readAt(spark, vCur - 1).count() >= 0) // retained version reads
-    assertThrows[Exception](table.snapshot(0L)) // history beyond window gone
+    // history beyond the window fails with a CLEAR retention error (never a
+    // raw NoSuchFileException or a mid-scan FNF)
+    val exv = intercept[IllegalStateException](table.readAt(spark, 0L))
+    assert(exv.getMessage.contains("vacuumed past the retention floor"),
+      exv.getMessage)
     // live data files all still exist on disk
     table.currentFiles.foreach { f =>
       val p = if (f.path.startsWith("file:"))

@@ -274,6 +274,103 @@ class LakeMergeSpec extends AnyFunSuite {
     assert(got.size == 100 && got(7L) == "updated" && got(8L) == "v8")
   }
 
+  test("disjoint concurrent commits both land via rebase; non-disjoint conflicts fail") {
+    val dir = TestSpark.tmpDir("lake-cc")
+    val table = LakeTable.create(s"$dir/t", Schemas.turn)
+    val seed = (0 until 40).map(i => ("I", i.toLong, f"conv_$i%03d", 0, "user",
+      s"seed $i", None: Option[String], Timestamp.valueOf("2025-01-01 00:00:00")))
+      .toDF("op", "lsn", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    MergeInto.merge(spark, table, seed, "ck", 0L, MergeOptions(targetRowsPerFile = 10))
+    val stale = table.currentSnapshot
+    val files = table.currentFiles
+    assert(files.size >= 3)
+    val victim = files.head
+
+    // winner: commits against the head, removing `victim`
+    table.commitChange(stale, stale.schemaJson, Set(victim.path), Nil, None)
+    val headAfterWin = table.currentVersion
+
+    // non-disjoint loser: same stale base, removes the SAME file -> loud conflict
+    val ex = intercept[IllegalStateException](
+      table.commitChange(stale, stale.schemaJson, Set(victim.path), Nil, None))
+    assert(ex.getMessage.contains("NOT disjoint"), ex.getMessage)
+
+    // disjoint loser: stale base, pure addition -> rebases onto the head
+    val committed = table.commitChange(stale, stale.schemaJson, Set.empty,
+      List(victim.copy(addedAtVersion = stale.version + 1)), Some(("ck2", 7L)))
+    assert(committed.version == headAfterWin + 1,
+      s"expected rebase to ${headAfterWin + 1}, got ${committed.version}")
+    assert(committed.epochHwm.get("ck2").contains(7L))
+    // the rebased commit sees the winner's removal AND its own addition
+    val paths = table.currentFiles.map(_.path)
+    assert(paths.contains(victim.path))
+    assert(paths.count(_ == victim.path) == 1)
+    // addedAtVersion was rewritten to the version the commit actually landed at
+    assert(table.currentFiles.find(_.path == victim.path)
+      .exists(_.addedAtVersion == committed.version))
+
+    // epoch-ledger conflict: stale base replaying an epoch the head already has
+    val stale2 = table.currentSnapshot
+    table.commitChange(stale2, stale2.schemaJson, Set.empty, Nil, Some(("ck3", 1L)))
+    val ex2 = intercept[IllegalStateException](
+      table.commitChange(stale2, stale2.schemaJson, Set.empty, Nil, Some(("ck3", 1L))))
+    assert(ex2.getMessage.contains("epoch ledger"), ex2.getMessage)
+  }
+
+  test("compaction racing MoR ingest on separate threads: both land, state exact") {
+    val dir = TestSpark.tmpDir("lake-race")
+    val table = LakeTable.create(s"$dir/t", Schemas.turn)
+    val pr = p.copy(nEvents = 6000)
+    val mor = MergeOptions(mode = MergeMode.Mor, targetRowsPerFile = 500,
+      morCompactDeltaRatio = 1e9, morCompactMaxDeltaFiles = Int.MaxValue)
+    val ev = ChangelogGen.events(spark, pr)
+      .map { case (f, e) => (f, e.op, e.lsn, e.conv_id, e.turn_idx, e.role, e.text,
+        e.tool, e.ts, e.tool_meta) }
+      .toDF("wal_file", "op", "lsn", "conv_id", "turn_idx", "role", "text",
+        "tool", "ts", "tool_meta")
+      .cache()
+    try {
+      @volatile var maintErr: Option[Throwable] = None
+      val ingest = new Thread(() =>
+        (0 until pr.nFiles).foreach { f =>
+          MergeInto.merge(spark, table,
+            ev.filter($"wal_file" === f).drop("wal_file"), "ck1", f.toLong, mor)
+        })
+      val maintain = new Thread(() =>
+        try (0 until 8).foreach { _ =>
+          graft.lake.Compaction.foldDeltas(spark, table)
+          Thread.sleep(50)
+        } catch { case t: Throwable => maintErr = Some(t) })
+      ingest.start(); maintain.start()
+      ingest.join(600000); maintain.join(600000)
+      assert(maintErr.isEmpty, s"maintenance thread failed: $maintErr")
+      assert(tableState(table) == oracleState(pr),
+        "concurrent fold+ingest must converge to the oracle state")
+      // ledger intact: every epoch recorded exactly once
+      assert(table.currentSnapshot.epochHwm("ck1") == (pr.nFiles - 1).toLong)
+    } finally ev.unpersist()
+  }
+
+  test("snapshot format gate: missing or unknown formatVersion fails loudly") {
+    val dir = TestSpark.tmpDir("lake-fv")
+    val table = LakeTable.create(s"$dir/t", Schemas.turn)
+    val p0 = java.nio.file.Paths.get(s"$dir/t/_snapshots", f"v${0L}%020d.json")
+    val raw = new String(java.nio.file.Files.readAllBytes(p0), "UTF-8")
+    // unknown future version
+    java.nio.file.Files.write(p0,
+      raw.replace(s""""formatVersion":${LakeTable.FormatVersion}""",
+        """"formatVersion":99""").getBytes("UTF-8"))
+    val ex = intercept[IllegalStateException](table.snapshot(0L))
+    assert(ex.getMessage.contains("formatVersion 99"), ex.getMessage)
+    // missing field (pre-versioned layout): must NOT silently read as empty
+    java.nio.file.Files.write(p0,
+      raw.replace(s""""formatVersion":${LakeTable.FormatVersion},""", "")
+        .replace(s""","formatVersion":${LakeTable.FormatVersion}""", "")
+        .getBytes("UTF-8"))
+    val ex2 = intercept[IllegalStateException](table.snapshot(0L))
+    assert(ex2.getMessage.contains("no formatVersion"), ex2.getMessage)
+  }
+
   test("schema merge rejects type conflicts, appends new nullable columns") {
     import org.apache.spark.sql.types._
     val base = StructType(Seq(StructField("a", StringType), StructField("b", IntegerType)))
