@@ -92,9 +92,16 @@ object Compaction {
     val newVersion = snap.version + 1
     val outDir = table.newDataDir(newVersion)
 
-    graft.merge.MergeInto.resolveSortDedup(
-      spark.read.schema(schema).parquet(all.map(_.path): _*), snap.keyCols, nOut)
-      .write.mode("overwrite").parquet(outDir)
+    val raw = spark.read.schema(schema).parquet(all.map(_.path): _*)
+    val folded =
+      if (snap.sparse)
+        graft.merge.MergeInto.resolveSparse(
+          raw.repartitionByRange(nOut, snap.keyCols.map(col): _*), snap.keyCols,
+          schema.fieldNames.toSeq.filterNot(c =>
+            LakeTable.MetaCols.contains(c) || snap.keyCols.contains(c)))
+      else
+        graft.merge.MergeInto.resolveSortDedup(raw, snap.keyCols, nOut)
+    folded.write.mode("overwrite").parquet(outDir)
 
     val newFiles = writtenStats(spark, table, outDir, newVersion, delta = false)
     table.commitChange(snap, snap.schemaJson, all.map(_.path).toSet, newFiles, None)

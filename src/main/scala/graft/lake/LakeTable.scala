@@ -76,6 +76,12 @@ final case class Snapshot(
     manifests: List[String],
     /** exactly-once ledger: highest applied epochId per checkpointId */
     epochHwm: Map[String, Long],
+    /** partial-column (sparse) upsert mode, fixed at table creation: update
+      * events may carry only a subset of payload columns (null = "unchanged")
+      * and resolution folds PER COLUMN by cell lsn — see
+      * [[graft.merge.MergeInto.resolveSparse]]. Additive field: json4s
+      * defaults it to false for snapshots written before it existed. */
+    sparse: Boolean = false,
     /** on-disk layout version — see [[LakeTable.FormatVersion]]. The default
       * only feeds SERIALIZATION of newly built snapshots; reads go through a
       * presence check that fails loudly on missing/unknown versions (json4s
@@ -89,7 +95,8 @@ final case class Snapshot(
 object LakeTable {
   val LsnCol = "_lsn"
   val DeletedCol = "_deleted"
-  val MetaCols: Seq[String] = Seq(LsnCol, DeletedCol)
+  val CellLsnCol = "_cell_lsn"
+  val MetaCols: Seq[String] = Seq(LsnCol, DeletedCol, CellLsnCol)
   /** current snapshot-JSON layout (2 = keyCols/manifests/epochHwm form;
     * 1 was the round-1 files/epochs form, no longer readable) */
   val FormatVersion = 2
@@ -106,21 +113,37 @@ object LakeTable {
   private[lake] val nonceCounter =
     new java.util.concurrent.atomic.AtomicLong(System.nanoTime() >>> 8)
 
-  def metaFields: Seq[StructField] = Seq(
-    StructField(LsnCol, LongType, nullable = true),
-    StructField(DeletedCol, BooleanType, nullable = true))
+  def metaFields: Seq[StructField] = metaFields(sparse = false)
 
-  /** Create an empty table with the given payload schema and merge key. */
+  /** Metadata columns: lsn + tombstone flag; sparse tables additionally
+    * store per-column cell lsns (column name -> lsn of the event that set
+    * it) — the provenance that makes partial-column folds associative
+    * across epochs under out-of-order delivery. */
+  def metaFields(sparse: Boolean): Seq[StructField] = {
+    val base = Seq(
+      StructField(LsnCol, LongType, nullable = true),
+      StructField(DeletedCol, BooleanType, nullable = true))
+    if (sparse)
+      base :+ StructField(CellLsnCol, MapType(StringType, LongType), nullable = true)
+    else base
+  }
+
+  /** Create an empty table with the given payload schema and merge key.
+    * `sparseUpdates` turns on partial-column upserts (null payload column in
+    * an update event = "keep the incumbent value"); it is a table-level
+    * property because READS must fold with the same per-column rule. */
   def create(dir: String, payloadSchema: StructType,
-      keyCols: Seq[String] = Seq("conv_id", "turn_idx")): LakeTable = {
+      keyCols: Seq[String] = Seq("conv_id", "turn_idx"),
+      sparseUpdates: Boolean = false): LakeTable = {
     require(keyCols.nonEmpty && keyCols.forall(payloadSchema.fieldNames.contains),
       s"key columns $keyCols must exist in the payload schema")
     val t = new LakeTable(dir)
     Files.createDirectories(Paths.get(dir, "_snapshots"))
     Files.createDirectories(Paths.get(dir, "_manifests"))
     Files.createDirectories(Paths.get(dir, "data"))
-    val stored = StructType(payloadSchema.fields.toSeq ++ metaFields)
-    t.commit(Snapshot(0L, -1L, stored.json, keyCols.toList, Nil, Map.empty))
+    val stored = StructType(payloadSchema.fields.toSeq ++ metaFields(sparseUpdates))
+    t.commit(Snapshot(0L, -1L, stored.json, keyCols.toList, Nil, Map.empty,
+      sparseUpdates))
     t
   }
 
@@ -278,7 +301,8 @@ final class LakeTable(val dir: String) {
       val hwm = epoch.fold(cur.epochHwm) { case (ck, e) =>
         cur.epochHwm.updated(ck, math.max(e, cur.epochHwm.getOrElse(ck, Long.MinValue)))
       }
-      val next = Snapshot(version, cur.version, curSchemaJson, cur.keyCols, manifests, hwm)
+      val next = Snapshot(version, cur.version, curSchemaJson, cur.keyCols,
+        manifests, hwm, cur.sparse)
       try {
         commit(next)
         return next
@@ -408,12 +432,17 @@ final class LakeTable(val dir: String) {
     val snap = snapshot(version)
     val payloadCols = snap.schema.fieldNames.filterNot(MetaCols.contains).map(col).toSeq
     val raw = readRaw(spark, snap)
-    // merge-on-read: unresolved delta rows fold by max-lsn before the
-    // tombstone filter; pure-base snapshots skip the fold (already resolved)
+    // merge-on-read: unresolved delta rows fold before the tombstone filter
+    // (per-column cell-lsn fold for sparse tables, max-lsn rows otherwise);
+    // pure-base snapshots skip the fold (already resolved)
     val resolved =
-      if (files(snap).exists(_.delta))
+      if (!files(snap).exists(_.delta)) raw
+      else if (snap.sparse)
+        graft.merge.MergeInto.resolveSparse(raw, snap.keyCols,
+          snap.schema.fieldNames.toSeq.filterNot(c =>
+            MetaCols.contains(c) || snap.keyCols.contains(c)))
+      else
         graft.merge.MergeInto.resolveMaxLsn(raw, snap.keyCols, saltBuckets = 1)
-      else raw
     resolved
       .filter(not(coalesce(col(DeletedCol), lit(false))))
       .select(payloadCols: _*)

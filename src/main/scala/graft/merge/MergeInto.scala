@@ -173,7 +173,10 @@ object MergeInto {
     val batchPayload = StructType(batch.schema.fields.filterNot(f =>
       f.name == opts.opCol || f.name == opts.lsnCol))
     val mergedPayload = SchemaMerge.merge(tablePayload(snap), batchPayload)
-    val storedSchema = StructType(mergedPayload.fields.toSeq ++ LakeTable.metaFields)
+    val storedSchema =
+      StructType(mergedPayload.fields.toSeq ++ LakeTable.metaFields(snap.sparse))
+    val nonKeyPayload =
+      mergedPayload.fields.map(_.name).filterNot(keyCols.contains).toSeq
 
     // Normalize the batch to stored shape: payload (nulls for D rows except
     // keys, nulls for columns the batch doesn't carry), _lsn, _deleted.
@@ -185,12 +188,25 @@ object MergeInto {
       else when(isDelete, lit(null).cast(f.dataType))
         .otherwise(col(f.name).cast(f.dataType)).as(f.name)
     }
+    // sparse tables: record, per non-key column the event actually SET, the
+    // event's lsn — the cell provenance resolveSparse folds by
+    val sparseCols =
+      if (!snap.sparse) Nil
+      else Seq(map_filter(
+        map_from_arrays(
+          array(nonKeyPayload.map(lit): _*),
+          array(nonKeyPayload.map { c =>
+            if (!batchCols.contains(c)) lit(null).cast(LongType)
+            else when(!isDelete && col(c).isNotNull,
+              col(opts.lsnCol).cast(LongType))
+          }: _*)),
+        (_, v) => v.isNotNull).as(LakeTable.CellLsnCol))
     // NOT persisted: bNorm is a cheap scan+project recomputed by each of the
     // few jobs below; building a columnar cache of it costs multiples of the
     // recompute (measured) and is a serial, cores-insensitive fixed cost.
     val bNorm = batch.select(payloadExprs ++ Seq(
       col(opts.lsnCol).cast(LongType).as(LsnCol),
-      isDelete.as(DeletedCol)): _*)
+      isDelete.as(DeletedCol)) ++ sparseCols: _*)
 
     {
       // --- batch stats -------------------------------------------------------
@@ -269,6 +285,11 @@ object MergeInto {
       val tWrite = System.nanoTime()
       val isDelta = opts.mode == MergeMode.Mor
       val toWrite = opts.mode match {
+        case MergeMode.Mor if snap.sparse =>
+          // within-batch sparse collapse: exact because cell lsns preserve
+          // per-column provenance (see resolveSparse)
+          resolveSparse(bNorm.repartition(nOut, keyCols.map(col): _*),
+            keyCols, nonKeyPayload)
         case MergeMode.Mor =>
           // merge-on-read: write ONLY the batch, resolved within itself
           // (cross-epoch conflicts fold at read / compaction time). Hash
@@ -276,6 +297,17 @@ object MergeInto {
           // scanned exactly once per epoch — delta files are folded soon
           // anyway, so tight range bounds buy little there.
           resolveHashDedup(bNorm, keyCols, nOut)
+        case MergeMode.Cow if snap.sparse =>
+          val target =
+            if (touched.isEmpty)
+              spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                storedSchema)
+            else
+              spark.read.schema(storedSchema).parquet(touched.map(_.path): _*)
+          resolveSparse(
+            target.unionByName(bNorm)
+              .repartitionByRange(nOut, keyCols.map(col): _*),
+            keyCols, nonKeyPayload)
         case MergeMode.Cow =>
           val target =
             if (touched.isEmpty)
@@ -377,6 +409,62 @@ object MergeInto {
    */
   def resolveHashDedup(union: DataFrame, keyCols: Seq[String], nOut: Int): DataFrame =
     dedupAfterExchange(union.repartition(nOut, keyCols.map(col): _*), keyCols)
+
+  /**
+   * Partial-column (sparse) conflict resolution — the reference's
+   * `OnDupKeyFields` column-subset upsert (/root/reference/processors/
+   * sql_writer.go:25, /root/reference/util/sql.go:274-284), generalized to
+   * per-event sparseness: a null payload column in an update event means
+   * "unchanged", and the fold resolves EVERY column independently.
+   *
+   * Rule: per key, a column's final value comes from the highest-CELL-lsn
+   * event that set the column AFTER the key's newest delete (`_cell_lsn`
+   * records, per column, the lsn of the event that set it — without that
+   * provenance a folded row would promote old column values to its row lsn,
+   * and a late lower-lsn update arriving in a later epoch would lose;
+   * with it the fold is associative, so within-batch collapse, cross-epoch
+   * read folds and compaction all compose exactly).
+   *
+   * Explicit-null writes are unrepresentable in sparse mode (null = unset),
+   * matching the reference's column-subset semantics.
+   *
+   * Plan shape: all window functions share ONE key clustering (a single
+   * exchange, inserted by the planner if the caller hasn't already
+   * placed/partitioned the data) — full-frame per-column max_by folds plus
+   * one (key, lsn desc) row_number to keep a single resolved row per key.
+   */
+  def resolveSparse(rows: DataFrame, keyCols: Seq[String],
+      payloadCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kc = keyCols.map(col)
+    val wFull = Window.partitionBy(kc: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wOrd = Window.partitionBy(kc: _*).orderBy(col(LsnCol).desc)
+    val lastDel = max(when(coalesce(col(DeletedCol), lit(false)), col(LsnCol)))
+      .over(wFull)
+    def cellOf(c: String) = element_at(col(LakeTable.CellLsnCol), lit(c))
+    def masked(c: String) =
+      when(cellOf(c) > coalesce(col("_ld"), lit(Long.MinValue)), cellOf(c))
+    val valCols = payloadCols.map(c => max_by(col(c), masked(c)).over(wFull).as(s"_v_$c"))
+    val lsnCols = payloadCols.map(c => max(masked(c)).over(wFull).as(s"_l_$c"))
+    val folded = rows
+      .withColumn("_ld", lastDel)
+      .select((rows.columns.map(col).toSeq :+ col("_ld")) ++ valCols ++ lsnCols: _*)
+      .withColumn("_rn", row_number().over(wOrd))
+      .filter(col("_rn") === 1)
+    val cellMap = map_filter(
+      map_from_arrays(
+        array(payloadCols.map(lit): _*),
+        array(payloadCols.map(c => col(s"_l_$c")): _*)),
+      (_, v) => v.isNotNull)
+    val outCols =
+      rows.columns.toSeq.map {
+        case c if payloadCols.contains(c) => col(s"_v_$c").as(c)
+        case c if c == LakeTable.CellLsnCol => cellMap.as(c)
+        case c => col(c)
+      }
+    folded.select(outCols: _*)
+  }
 
   /** The shared in-partition dedup pipeline: both exchanges above satisfy
     * the window's ClusteredDistribution, so no further shuffle appears. */

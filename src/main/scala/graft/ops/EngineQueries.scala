@@ -53,11 +53,62 @@ object EngineQueries {
     LakeTable.load(s"$work/table").read(s)
   }
 
+  /**
+   * Partial-column upsert e2e (the reference's OnDupKeyFields,
+   * /root/reference/processors/sql_writer.go:25, util/sql.go:274-284):
+   * deterministic sparse changelog derived from `documents`, merged through
+   * a sparse lake table in two MoR epochs (insert epoch, then a mixed epoch
+   * of single-column updates + deletes), so the driver's DuckDB oracle can
+   * verify the closed-form final state — including that columns NOT carried
+   * by an update survive from the incumbent row.
+   */
+  def mergeSparse(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.merge.MergeOptions
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val work = Files.createTempDirectory("graft-sparse").toString
+    val payload = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("text", StringType)))
+    val table = LakeTable.create(s"$work/t", payload, keyCols = Seq("doc_id"),
+      sparseUpdates = true)
+    val opts = MergeOptions(keyCols = Seq("doc_id"),
+      mode = graft.merge.MergeMode.Mor)
+    def nul = lit(null).cast(StringType)
+    val ins = docs.select(lit("I").as("op"), (col("doc_id") * 4).as("lsn"),
+      col("doc_id"), col("lang"), col("source"), col("text"))
+    val updLang = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(lit("U").as("op"), (col("doc_id") * 4 + 1).as("lsn"),
+        col("doc_id"), lit("xx").as("lang"), nul.as("source"), nul.as("text"))
+    val updText = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(lit("U").as("op"), (col("doc_id") * 4 + 2).as("lsn"),
+        col("doc_id"), nul.as("lang"), nul.as("source"),
+        concat(lit("v2:"), col("text")).as("text"))
+    val dels = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select(lit("D").as("op"), (col("doc_id") * 4 + 3).as("lsn"),
+        col("doc_id"), nul.as("lang"), nul.as("source"), nul.as("text"))
+    MergeInto.merge(s, table, ins, "sparse", 0L, opts)
+    MergeInto.merge(s, table, updLang.unionByName(updText).unionByName(dels),
+      "sparse", 1L, opts)
+    table.read(s).select(col("doc_id"), col("lang"), col("source"), col("text"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_ingest_e2e" -> ((s, dir) => cdcIngestE2E(s, paramsFor(dir))),
     "q_cdc_stream_e2e" -> ((s, dir) =>
       cdcStreamE2E(s, paramsFor(dir).copy(nEvents = 20000L, eventsPerFile = 2500L,
-        maxLateEvents = 500))))
+        maxLateEvents = 500))),
+    "q_merge_sparse" -> ((s, dir) => mergeSparse(s, dir)))
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    // closed-form final state of the sparse changelog: lang touched by the
+    // %3 update, text by the %5 update (other columns must SURVIVE each
+    // sparse update), %7 keys deleted last
+    "q_merge_sparse" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'xx' ELSE lang END AS lang,
+           source,
+           CASE WHEN doc_id % 5 = 0 THEN 'v2:' || text ELSE text END AS text
+         FROM documents WHERE doc_id % 7 <> 0""")
 }

@@ -43,4 +43,46 @@ object Http {
       spark.createDataset(fetchBody(url).linesIterator.filter(_.nonEmpty).toSeq)
     spark.read.json(lines)
   }
+
+  /**
+   * Correlated per-payload fetch — the reference HTTPRequest's
+   * one-request-per-incoming-payload loop
+   * (/root/reference/processors/http_request.go:15-43) and the HTTP face of
+   * its DynamicSQLReader templating: a driver-side key set (typically a
+   * prior result's collected rows) generates one GET per key; the JSON-lines
+   * responses union into a single DataFrame (schema inferred across pages).
+   *
+   * Driver-side on purpose: the key set is control-plane-sized by
+   * construction (it was collected), and executor-side HTTP would turn a
+   * scan into unmanaged network fan-out — see the object doc.
+   */
+  def fetchCorrelated[T](spark: SparkSession, keys: Seq[T])(
+      urlFor: T => String): DataFrame = {
+    import spark.implicits._
+    val lines = keys.iterator
+      .flatMap(k => fetchBody(urlFor(k)).linesIterator.filter(_.nonEmpty))
+      .toSeq
+    spark.read.json(spark.createDataset(lines))
+  }
+
+  /**
+   * Page-indexed pagination (the reference BigQueryReader's page-size loop,
+   * /root/reference/processors/big_query_reader.go:49, re-expressed over
+   * HTTP): GET `pageUrl(0)`, `pageUrl(1)`, ... until a page returns an empty
+   * body or `maxPages` is hit (a misbehaving server must not loop forever).
+   * All pages' JSON lines union into one inferred-schema DataFrame.
+   */
+  def fetchPaged(spark: SparkSession, maxPages: Int = 1000)(
+      pageUrl: Int => String): DataFrame = {
+    import spark.implicits._
+    val pages = Iterator.from(0)
+      .map(i => fetchBody(pageUrl(i)))
+      .takeWhile(_.trim.nonEmpty)
+      .take(maxPages)
+      .toSeq
+    require(pages.size < maxPages,
+      s"pagination did not terminate within $maxPages pages")
+    val lines = pages.iterator.flatMap(_.linesIterator).filter(_.nonEmpty).toSeq
+    spark.read.json(spark.createDataset(lines))
+  }
 }

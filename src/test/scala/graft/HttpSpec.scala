@@ -41,4 +41,61 @@ class HttpSpec extends AnyFunSuite {
       assert(joined.filter(col("label") === "dim_3").count() == 20)
     } finally server.stop(0)
   }
+
+  test("correlated per-payload fetch: a prior result drives one request per key") {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    // /items?code=N -> 3 JSON lines for that code
+    server.createContext("/items", exchange => {
+      val code = exchange.getRequestURI.getQuery.stripPrefix("code=").toInt
+      val body = (1 to 3)
+        .map(i => s"""{"code":$code,"item":"it_${code}_$i"}""").mkString("\n")
+      val bytes = body.getBytes("UTF-8")
+      exchange.sendResponseHeaders(200, bytes.length)
+      exchange.getResponseBody.write(bytes)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      // the prior result: top-2 codes of a local aggregation
+      val hot = (1 to 100).map(i => (i.toLong, (i % 3) + 1)).toDF("id", "code")
+        .groupBy("code").count().orderBy(col("count").desc, col("code"))
+        .limit(2).collect().map(_.getAs[Int]("code")).toSeq
+      assert(hot.size == 2)
+      val items = Http.fetchCorrelated(spark, hot)(c => s"$base/items?code=$c")
+      assert(items.count() == 6) // 2 correlated requests x 3 lines
+      assert(items.select("code").distinct().count() == 2)
+      assert(items.columns.sorted.toSeq == Seq("code", "item"))
+    } finally server.stop(0)
+  }
+
+  test("paged fetch unions pages until the server runs dry") {
+    val all = (0 until 25).map(i => s"""{"n":$i}""")
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/page", exchange => {
+      val p = exchange.getRequestURI.getQuery.stripPrefix("p=").toInt
+      val body = all.slice(p * 10, (p + 1) * 10).mkString("\n")
+      val bytes = body.getBytes("UTF-8")
+      exchange.sendResponseHeaders(200, if (bytes.isEmpty) -1 else bytes.length)
+      if (bytes.nonEmpty) exchange.getResponseBody.write(bytes)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val df = Http.fetchPaged(spark)(i => s"$base/page?p=$i")
+      assert(df.count() == 25) // 3 pages: 10 + 10 + 5, stops on empty page 3
+      assert(df.agg(sum(col("n"))).head().getLong(0) == (0 until 25).sum.toLong)
+      // unbounded server trips the page bound instead of looping forever
+      server.createContext("/inf", exchange => {
+        val bytes = """{"x":1}""".getBytes("UTF-8")
+        exchange.sendResponseHeaders(200, bytes.length)
+        exchange.getResponseBody.write(bytes)
+        exchange.close()
+      })
+      val ex = intercept[IllegalArgumentException](
+        Http.fetchPaged(spark, maxPages = 5)(_ => s"$base/inf"))
+      assert(ex.getMessage.contains("did not terminate"))
+    } finally server.stop(0)
+  }
 }

@@ -371,6 +371,82 @@ class LakeMergeSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("no formatVersion"), ex2.getMessage)
   }
 
+  test("sparse upserts: partial-column updates coalesce from the incumbent row") {
+    for (mode <- Seq(MergeMode.Mor, MergeMode.Cow)) {
+      val dir = TestSpark.tmpDir(s"lake-sparse-$mode")
+      val table = LakeTable.create(s"$dir/t", Schemas.turn, sparseUpdates = true)
+      val opts = MergeOptions(mode = mode,
+        morCompactDeltaRatio = 1e9, morCompactMaxDeltaFiles = Int.MaxValue)
+      def batch(rows: Seq[(String, Long, String, Int, String, String, Option[String])]) =
+        rows.map { case (op, lsn, c, t, role, tx, tool) =>
+          (op, lsn, c, t, role, tx, tool, Timestamp.valueOf("2025-01-01 00:00:00"))
+        }.toDF("op", "lsn", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+      // epoch 0: full insert
+      MergeInto.merge(spark, table, batch(Seq(
+        ("I", 1L, "c1", 0, "user", "hello world", Some("t0")))), "ck", 0L, opts)
+      // epoch 1: sparse update touching ONLY text (role/tool null = unchanged)
+      MergeInto.merge(spark, table, batch(Seq(
+        ("U", 2L, "c1", 0, null, "hello edited", None))), "ck", 1L, opts)
+      val r1 = table.read(spark).collect()
+      assert(r1.length == 1)
+      assert(r1(0).getAs[String]("text") == "hello edited")
+      assert(r1(0).getAs[String]("role") == "user",
+        s"[$mode] sparse update clobbered role: ${r1(0)}")
+      assert(r1(0).getAs[String]("tool") == "t0",
+        s"[$mode] sparse update clobbered tool")
+
+      // delete RESETS the coalesce chain: a later re-insert must not revive
+      // pre-delete cells
+      MergeInto.merge(spark, table, batch(Seq(
+        ("D", 3L, "c1", 0, null, null, None))), "ck", 2L, opts)
+      MergeInto.merge(spark, table, batch(Seq(
+        ("I", 4L, "c1", 0, null, "fresh", None))), "ck", 3L, opts)
+      val r2 = table.read(spark).collect()
+      assert(r2.length == 1 && r2(0).getAs[String]("text") == "fresh")
+      assert(r2(0).getAs[String]("role") == null,
+        s"[$mode] delete must reset cells, got role=${r2(0).getAs[String]("role")}")
+      assert(r2(0).getAs[String]("tool") == null)
+
+      // fold/compaction is state-invariant for sparse tables too
+      val before = table.read(spark).collect().map(_.toSeq).toSet
+      graft.lake.Compaction.foldDeltas(spark, table)
+      assert(table.read(spark).collect().map(_.toSeq).toSet == before)
+    }
+  }
+
+  test("sparse upserts: late lower-lsn update in a later epoch still loses per column") {
+    // THE associativity trap: epoch 0 folds I(text)@1 + U(tool)@10 into one
+    // row; if that row's text were promoted to the row lsn (10), the late
+    // text update @5 arriving in epoch 1 would wrongly lose. Cell lsns keep
+    // per-column provenance, so text@5 beats text@1 and loses to nothing.
+    val dir = TestSpark.tmpDir("lake-sparse-late")
+    val table = LakeTable.create(s"$dir/t", Schemas.turn, sparseUpdates = true)
+    val mor = MergeOptions(mode = MergeMode.Mor,
+      morCompactDeltaRatio = 1e9, morCompactMaxDeltaFiles = Int.MaxValue)
+    def row(op: String, lsn: Long, role: String, tx: String, tool: Option[String]) =
+      Seq((op, lsn, "c1", 0, role, tx, tool, Timestamp.valueOf("2025-01-01 00:00:00")))
+        .toDF("op", "lsn", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    MergeInto.merge(spark, table,
+      row("I", 1L, "user", "original", None)
+        .unionByName(row("U", 10L, null, null, Some("t9"))), "ck", 0L, mor)
+    // late event, lower lsn than the already-folded epoch-0 row
+    MergeInto.merge(spark, table, row("U", 5L, null, "edited@5", None), "ck", 1L, mor)
+    val r = table.read(spark).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[String]("text") == "edited@5",
+      s"late per-column update lost: ${r(0)}")
+    assert(r(0).getAs[String]("tool") == "t9")
+    assert(r(0).getAs[String]("role") == "user")
+    // and the same state survives a full fold
+    graft.lake.Compaction.foldDeltas(spark, table)
+    val rf = table.read(spark).collect()
+    assert(rf(0).getAs[String]("text") == "edited@5" &&
+      rf(0).getAs[String]("tool") == "t9" && rf(0).getAs[String]("role") == "user")
+    // ...and a later even-lower-lsn straggler STILL can't override post-fold
+    MergeInto.merge(spark, table, row("U", 3L, null, "stale@3", None), "ck", 2L, mor)
+    assert(table.read(spark).collect()(0).getAs[String]("text") == "edited@5")
+  }
+
   test("schema merge rejects type conflicts, appends new nullable columns") {
     import org.apache.spark.sql.types._
     val base = StructType(Seq(StructField("a", StringType), StructField("b", IntegerType)))
