@@ -27,9 +27,17 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (engine e2e, LSH/minhash/simhash, multimodal stub) — those are
-    * verified by the fold-oracle + replay tests in `sbt test`. */
+    * verified by the fold-oracle + replay tests in `sbt test`.
+    * Default tier substitution: SPARK_GRAFT_SF_DIR or sf0.01 (the driver's
+    * correctness tier); Verify re-emits with its actual sf argument. */
   def oracleSql: Map[String, String] =
-    CdcQueries.oracles ++ TextOps.oracles ++ SimilarityOps.oracles ++
+    oracleSqlFor(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+
+  /** Oracle SQL with path placeholders bound to the given sf directory —
+    * oracles that read files directly (read_blob) must point at the same
+    * corpus the Spark query ran on, whatever the tier. */
+  def oracleSqlFor(sfDir: String): Map[String, String] =
+    (CdcQueries.oracles ++ TextOps.oracles ++ SimilarityOps.oracles ++
       RelationalOps.oracles ++ Multimodal.oracles ++ EngineQueries.oracles ++
-      SinkOps.oracles
+      SinkOps.oracles).map { case (k, v) => k -> v.replace("__SF_DIR__", sfDir) }
 }

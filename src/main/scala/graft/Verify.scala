@@ -37,7 +37,7 @@ object Verify {
     // The driver keys its DuckDB gate by the result FILENAME (`<name>.parquet`,
     // see CORRECTNESS_r01.json) — emit both the suffixed key (what the driver
     // looks up) and the bare name (compat with any bare-keyed consumer).
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSqlFor(sfDir)
       .flatMap { case (k, v) => Seq(s"$k.parquet" -> v, k -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -29,7 +29,7 @@ object EngineQueries {
 
   /** Full batch CDC ingest: gen -> epoch merges -> final table state. */
   def cdcIngestE2E(s: SparkSession, p: GenParams): DataFrame = {
-    val work = Files.createTempDirectory("graft-e2e").toString
+    val work = Scratch.dir("graft-e2e")
     val table = LakeTable.create(s"$work/table", Schemas.turn)
     val ev = ChangelogGen.events(s, p).toDF("wal_file", "ev")
       .select(col("wal_file"), col("ev.*")).cache()
@@ -45,7 +45,7 @@ object EngineQueries {
 
   /** Full streaming CDC ingest over a WAL directory (the flagship). */
   def cdcStreamE2E(s: SparkSession, p: GenParams): DataFrame = {
-    val work = Files.createTempDirectory("graft-stream-e2e").toString
+    val work = Scratch.dir("graft-stream-e2e")
     ChangelogGen.writeWal(s, p, s"$work/wal")
     CdcIngestJob.runAvailableNow(s,
       IngestConfig(s"$work/wal", s"$work/table", s"$work/ckpt",
@@ -67,7 +67,7 @@ object EngineQueries {
     import graft.merge.MergeOptions
     val docs = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
-    val work = Files.createTempDirectory("graft-sparse").toString
+    val work = Scratch.dir("graft-sparse")
     val payload = StructType(Seq(StructField("doc_id", LongType),
       StructField("lang", StringType), StructField("source", StringType),
       StructField("text", StringType)))

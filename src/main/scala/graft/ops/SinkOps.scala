@@ -36,7 +36,7 @@ object SinkOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CSV write -> read roundtrip; aggregates prove the text survived quoting.
     "q_csv_roundtrip" -> ((s, dir) => {
-      val out = Files.createTempDirectory("graft-csv").toString
+      val out = Scratch.dir("graft-csv")
       docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
         .write.mode("overwrite")
         .option("header", "true").option("quote", "\"").option("escape", "\"")
@@ -57,7 +57,7 @@ object SinkOps {
     // Dynamic sink routing: partition the stream by its routing key on write,
     // read the routed store back, per-destination row counts.
     "q_route_partitioned" -> ((s, dir) => {
-      val out = Files.createTempDirectory("graft-route").toString
+      val out = Scratch.dir("graft-route")
       events(s, dir).write.mode("overwrite")
         .partitionBy("event_type").parquet(out)
       s.read.parquet(out)
@@ -72,7 +72,7 @@ object SinkOps {
     // bug cannot cancel out in the roundtrip: any mis-escaped row changes
     // the md5 set / char count.
     "q_csv_escaping" -> ((s, dir) => {
-      val out = Files.createTempDirectory("graft-csv-esc").toString
+      val out = Scratch.dir("graft-csv-esc")
       val evil = concat(lit("q\""), col("text"), lit("\",\n|"), col("lang"))
       docs(s, dir).select(col("doc_id"), evil.as("evil"))
         .write.mode("overwrite")
@@ -96,7 +96,7 @@ object SinkOps {
     // written — every forwarded row must find its written twin, so the
     // aggregate equals the plain-documents oracle iff the tee is lossless.
     "q_tee" -> ((s, dir) => {
-      val out = Files.createTempDirectory("graft-tee").toString
+      val out = Scratch.dir("graft-tee")
       val frame = docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
       frame.write.mode("overwrite").parquet(out) // tee: write...
       val written = s.read.parquet(out)
@@ -124,7 +124,7 @@ object SinkOps {
     // Gzipped line-oriented IO: encode rows as text lines, gzip on write,
     // transparent decode on read, parse, aggregate.
     "q_gzip_lines" -> ((s, dir) => {
-      val out = Files.createTempDirectory("graft-gz").toString
+      val out = Scratch.dir("graft-gz")
       docs(s, dir)
         .select(concat_ws("|", col("doc_id"), md5(col("text"))).as("value"))
         .write.mode("overwrite")
@@ -155,10 +155,12 @@ object SinkOps {
     "q_tee" ->
       """SELECT count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum,
          count(DISTINCT md5(text)) AS n_texts FROM documents""",
-    // path fixed by the driver's correctness tier (TESTDATA.md: sf0.01)
+    // __SF_DIR__ is substituted with the actual scale-factor dir at emit time
+    // (SparkEntry.oracleSqlFor) so the oracle always reads the SAME corpus
+    // the Spark query ran on, at any tier
     "q_binary_file_source" ->
       """SELECT parse_filename(filename) AS file, CAST(size AS BIGINT) AS length
-         FROM read_blob('/root/testdata/sf0.01/documents.parquet')""",
+         FROM read_blob('__SF_DIR__/documents.parquet')""",
     "q_gzip_lines" ->
       """SELECT count(*) AS n_lines, CAST(sum(doc_id) AS BIGINT) AS id_sum,
          count(DISTINCT md5(text)) AS n_fps FROM documents""")
