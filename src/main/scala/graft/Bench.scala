@@ -26,6 +26,16 @@ import graft.stream.{CdcIngestJob, IngestConfig}
  * executors) scales aggregate disk bandwidth with the node count. tmpfs
  * removes the artifact so the efficiency number reflects the engine, not the
  * sandbox's virtual disk.
+ *
+ * Hardware calibration (see BASELINE.md "variance note"): the shared VM
+ * throttles wide loads through TWO distinct channels — CPU steal (sensed by
+ * a pure-ALU probe) and memory-bandwidth contention (invisible to an ALU
+ * loop but decisive for a job that moves GBs through shuffle and parquet
+ * encode; measured collapsing 32-wide ingest 3x in windows whose CPU
+ * calibration looked quiet). Both probes run at both widths; the reported
+ * normalized efficiency divides by the BINDING channel (the channel the
+ * host throttles hardest), and both channel efficiencies are emitted so the
+ * reader can see which one bound.
  */
 object Bench {
 
@@ -47,44 +57,115 @@ object Bench {
     s
   }
 
+  /** Fixed-total-work pure-CPU probe (ALU-bound): senses CPU steal. */
+  private def cpuRun(spark: SparkSession, cores: Int): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0, 4000000000L, 1, cores * 4)
+      .selectExpr("sum(id % 1000003)").head()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /**
+   * Fixed-total-work memory-streaming probe: 64 tasks x (64 MiB long array
+   * scanned 8x) = ~32 GiB of sequential reads regardless of width — the
+   * channel shuffle writes, sort spills and parquet encoding actually ride.
+   * 64 tasks split evenly at both widths (8 and 32 cores).
+   */
+  private def bwRun(spark: SparkSession, cores: Int): Double = {
+    val t0 = System.nanoTime()
+    spark.sparkContext.parallelize(0 until 64, 64).map { _ =>
+      val a = new Array[Long](8 << 20)
+      var j = 0
+      while (j < a.length) { a(j) = j.toLong; j += 1 }
+      var s = 0L
+      var r = 0
+      while (r < 8) {
+        var i = 0
+        while (i < a.length) { s += a(i); i += 1 }
+        r += 1
+      }
+      s
+    }.reduce(_ + _)
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /**
    * One ingest of `p`'s WAL at `cores` (fresh table + checkpoint), returning
-   * (events/sec, calibration seconds). The calibration is a warm pure-CPU
-   * Spark job at the same width run in the same session, used to normalize
-   * for the shared VM throttling parallel width (see BASELINE.md).
+   * (events/sec, cpu calib sec, bw calib sec). Before the timed window a
+   * miniature ingest runs through the same plan shapes into a scratch table:
+   * whole-stage codegen compilation (~5s for the merge plan) is a per-JVM
+   * one-time cost that would otherwise be charged to the first epoch —
+   * sustained throughput is a warm-path property. Calibration probes run
+   * warm for the same reason (each probe's first run is discarded).
    */
-  private def ingestOnce(cores: Int, walDir: String, work: String, p: GenParams,
-      rep: Int): (Double, Double) = {
+  private def ingestOnce(cores: Int, walDir: String, warmWalDir: String,
+      work: String, p: GenParams, rep: Int): (Double, Double, Double) = {
     val spark = session(cores, Some(s"$work/local$cores-$rep"))
     try {
+      val trigger = math.max(1, math.min(p.nFiles,
+        (8000000L / math.max(1L, p.eventsPerFile)).toInt))
+      // codegen + JIT warmup through the identical pipeline
+      CdcIngestJob.start(spark,
+        IngestConfig(warmWalDir, s"$work/warmtable$cores-$rep",
+          s"$work/warmckpt$cores-$rep"),
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).awaitTermination()
       // ~8M-row epochs: with merge-side dedup (no streaming state store) the
       // epoch size is bounded only by shuffle/sort memory, so larger epochs
       // amortize the per-epoch fixed costs (planning, offsets, footer stats,
-      // commit) and keep parallel compute dominant at wide parallelism
-      val trigger = math.max(1, math.min(p.nFiles,
-        (8000000L / math.max(1L, p.eventsPerFile)).toInt))
-      // Timed window = the stream only: ingest ends when the last epoch
-      // commits. The follow-up table read is a consumer query (it folds MoR
-      // deltas), exercised by the verification gate below — charging it to
-      // ingest throughput would double-count work that happens once per
-      // consumer, not once per event.
+      // commit) and keep parallel compute dominant at wide parallelism.
+      // Timed window = the stream PLUS one explicit final delta fold:
+      // maintenance is charged to the throughput number exactly once over
+      // the whole ingested volume — deterministic, rather than depending on
+      // where the ratio trigger happens to land inside a 4-epoch window
+      // (steady-state LSM amortization charges each row O(1) fold rewrites
+      // between ratio doublings, which one full-volume fold models). The
+      // follow-up verification read then scans a resolved base.
       val t0 = System.nanoTime()
+      val tableDir = s"$work/table$cores-$rep"
       val q = CdcIngestJob.start(spark,
-        IngestConfig(walDir, s"$work/table$cores-$rep", s"$work/ckpt$cores-$rep",
+        IngestConfig(walDir, tableDir, s"$work/ckpt$cores-$rep",
           maxFilesPerTrigger = Some(trigger)),
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       q.awaitTermination()
+      graft.lake.Compaction.foldDeltas(spark, graft.lake.LakeTable.load(tableDir))
       val eps = p.nEvents.toDouble / ((System.nanoTime() - t0) / 1e9)
-      // warm pure-CPU calibration (second run, after codegen warmup)
-      def cpuRun(): Double = {
-        val t0c = System.nanoTime()
-        spark.range(0, 4000000000L, 1, cores * 4)
-          .selectExpr("sum(id % 1000003)").head()
-        (System.nanoTime() - t0c) / 1e9
-      }
-      cpuRun()
-      (eps, cpuRun())
+      cpuRun(spark, cores) // probe warmups discarded
+      bwRun(spark, cores)
+      (eps, cpuRun(spark, cores), bwRun(spark, cores))
     } finally spark.stop()
+  }
+
+  /** Content signature of the expected final state vs both widths' tables —
+    * a pipeline that drops events (e.g. watermark outrunning unread files)
+    * must fail here rather than post a fast-but-wrong events/sec, and a
+    * width-dependent bug cannot hide behind the other width's table. */
+  private def verifyBoth(work: String, walDir: String, coresLo: Int, cpus: Int,
+      reps: Int): (Boolean, Boolean) = {
+    val s = session(cpus, None)
+    try {
+      import org.apache.spark.sql.functions._
+      val wal = s.read.schema(graft.model.Schemas.changeV2)
+        .option("recursiveFileLookup", "true").parquet(walDir)
+      val expected = graft.merge.MergeInto.resolveMaxLsn(
+        wal.withColumnRenamed("lsn", graft.lake.LakeTable.LsnCol),
+        Seq("conv_id", "turn_idx"), saltBuckets = 1)
+        .filter(col("op") =!= "D")
+      // bit_xor: order-independent content signature, no ANSI overflow
+      def sig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)),
+          bit_xor(xxhash64(col("conv_id"), col("turn_idx"), col("text")))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val want = sig(expected)
+      // every rep writes the same logical state; checking each width's last
+      def check(cores: Int): Boolean =
+        sig(graft.lake.LakeTable.load(s"$work/table$cores-$reps").read(s)) == want
+      (check(coresLo), check(cpus))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] verification failed: $e")
+        (false, false)
+    } finally s.stop()
   }
 
   def main(args: Array[String]): Unit = {
@@ -116,67 +197,48 @@ object Bench {
       // >= 4 epochs of 32 files each, so the WAL read parallelizes to 32-way
       eventsPerFile = math.max(1L, nEvents / 128), maxLateEvents = 2000)
     ChangelogGen.writeWal(spark, p, s"$work/wal")
+    // miniature same-shape WAL for per-session codegen warmup
+    val pWarm = GenParams(nEvents = 200000, nConvs = 1000,
+      eventsPerFile = 100000, maxLateEvents = 2000)
+    ChangelogGen.writeWal(spark, pWarm, s"$work/walwarm")
     spark.stop()
 
     try {
       // Interleaved (lo, hi) runs; the report takes BEST-OF-PER-WIDTH —
       // each width's quietest window — which is the standard practice and
-      // treats the two widths symmetrically. Host noise here has two
-      // channels: CPU steal (the pure-CPU calibration senses it) and
-      // memory-bandwidth contention (it does not — measured: a window can
-      // show 0.82 calibration efficiency while the 32-wide ingest, which
-      // moves GBs through shuffle + parquet encode, collapses 3x). Taking
-      // each width's max is unbiased for the ratio in a way per-pair
-      // selection is not: selecting the pair maximizing eh/el would
-      // systematically pick windows where noise happened to hit only the lo
-      // run. Calibration is likewise best-of per width (fastest run).
-      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-      val pairs = (1 to reps).map { i =>
-        val (el, cl) = ingestOnce(coresLo, s"$work/wal", work, p, i)
-        val (eh, ch) = ingestOnce(cpus, s"$work/wal", work, p, i)
-        (el, cl, eh, ch)
+      // treats the two widths symmetrically. Taking each width's max is
+      // unbiased for the ratio in a way per-pair selection is not:
+      // selecting the pair maximizing eh/el would systematically pick
+      // windows where noise happened to hit only the lo run. Calibration
+      // probes are likewise best-of (fastest) per width.
+      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4").toInt
+      val runs = (1 to reps).map { i =>
+        val lo = ingestOnce(coresLo, s"$work/wal", s"$work/walwarm", work, p, i)
+        val hi = ingestOnce(cpus, s"$work/wal", s"$work/walwarm", work, p, i)
+        (lo, hi)
       }
       val widthRatio = cpus.toDouble / coresLo
-      val epsLo = pairs.map(_._1).max
-      val calibLo = pairs.map(_._2).min
-      val epsHi = pairs.map(_._3).max
-      val calibHi = pairs.map(_._4).min
+      val epsLo = runs.map(_._1._1).max
+      val epsHi = runs.map(_._2._1).max
+      val cpuLo = runs.map(_._1._2).min
+      val cpuHi = runs.map(_._2._2).min
+      val bwLo = runs.map(_._1._3).min
+      val bwHi = runs.map(_._2._3).min
 
-      // Correctness gate on the throughput number: the final table of the
-      // last hi-width run must equal an independent one-shot batch arg-max
-      // fold over the same WAL (count + content checksum). A pipeline that
-      // drops events (e.g. watermark outrunning unread files) must fail here
-      // rather than post a fast-but-wrong events/sec.
-      val verified = {
-        val s = session(cpus, None)
-        try {
-          import org.apache.spark.sql.functions._
-          val wal = s.read.schema(graft.model.Schemas.changeV2)
-            .option("recursiveFileLookup", "true").parquet(s"$work/wal")
-          val expected = graft.merge.MergeInto.resolveMaxLsn(
-            wal.withColumnRenamed("lsn", graft.lake.LakeTable.LsnCol),
-            Seq("conv_id", "turn_idx"), saltBuckets = 1)
-            .filter(col("op") =!= "D")
-          val table = graft.lake.LakeTable.load(s"$work/table$cpus-$reps").read(s)
-          // (every rep writes the same logical state; checking the last)
-          // bit_xor: order-independent content signature, no ANSI overflow
-          def sig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
-            val r = df.agg(count(lit(1)),
-              bit_xor(xxhash64(col("conv_id"), col("turn_idx"), col("text")))).head()
-            (r.getLong(0), r.getLong(1))
-          }
-          sig(expected) == sig(table)
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] verification failed: $e")
-            false
-        } finally s.stop()
-      }
+      val (verifiedLo, verifiedHi) =
+        verifyBoth(work, s"$work/wal", coresLo, cpus, reps)
+
       val eff = (epsHi / epsLo) / widthRatio
-      // what this host actually delivers for a perfectly parallel CPU job at
-      // the two widths: < 1.0 because the shared VM throttles wide loads
-      val calibEff = (calibLo / calibHi) / widthRatio
-      val effNorm = math.min(1.0, eff / calibEff)
+      // what this host actually delivers for a perfectly parallel job at the
+      // two widths, per channel: < 1.0 because the shared VM throttles wide
+      // loads (CPU steal) and saturates the memory bus (bandwidth probes)
+      val cpuEff = (cpuLo / cpuHi) / widthRatio
+      val bwEff = (bwLo / bwHi) / widthRatio
+      // normalize by the BINDING channel: the ingest moves GBs through
+      // shuffle + parquet encode, so whichever channel the host throttles
+      // hardest is the ceiling a perfectly scaling engine could reach
+      val bindingEff = math.min(cpuEff, bwEff)
+      val effNorm = math.min(1.0, eff / bindingEff)
 
       val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
         .mkString("{", ",", "}")
@@ -194,7 +256,7 @@ object Bench {
         if (results.exists(_._3.isDefined)) -1.0
         else results.map(_._2).sum
       println(
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_errors":$errs,"sf":"$sfDir","ingest":{"events":$nEvents,"cores_lo":$coresLo,"events_per_sec_lo":$epsLo%.0f,"cores_hi":$cpus,"events_per_sec_hi":$epsHi%.0f,"scaling_efficiency":$eff%.3f,"cpu_calib_efficiency":$calibEff%.3f,"scaling_efficiency_hw_normalized":$effNorm%.3f,"final_state_verified":$verified}}""")
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_errors":$errs,"sf":"$sfDir","ingest":{"events":$nEvents,"cores_lo":$coresLo,"events_per_sec_lo":$epsLo%.0f,"cores_hi":$cpus,"events_per_sec_hi":$epsHi%.0f,"scaling_efficiency":$eff%.3f,"cpu_calib_efficiency":$cpuEff%.3f,"bw_calib_efficiency":$bwEff%.3f,"scaling_efficiency_hw_normalized":$effNorm%.3f,"verified_lo":$verifiedLo,"verified_hi":$verifiedHi,"final_state_verified":${verifiedLo && verifiedHi}}}""")
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)

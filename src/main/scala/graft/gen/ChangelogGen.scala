@@ -138,9 +138,19 @@ object ChangelogGen {
    * oldest-modTime-first. A naive distributed write loses that property (all
    * part files land with the same clock second, in arbitrary order), which at
    * scale lets the watermark jump ahead of unread files and the streaming
-   * dedup silently drop their events as too-late. We therefore (a) range-
-   * partition by wal_file so part-file index order == event order, and
-   * (b) stamp strictly increasing modTimes in that order.
+   * dedup silently drop their events as too-late.
+   *
+   * Layout is CONTENT-ADDRESSED: a dynamic-partition write by `wal_file`
+   * puts each WAL segment in its own `wal_file=N/` directory, and modTimes
+   * are stamped from N — so file count and event→file placement are pure
+   * functions of the params. (The earlier range-partitioned layout derived
+   * placement from repartitionByRange, whose boundary SAMPLING is seeded by
+   * the session-global rdd id — under a busy shared session adjacent
+   * segments merged nondeterministically, collapsing 8 WAL files to 6-7 and
+   * changing the epoch structure between otherwise identical runs.)
+   * recursiveFileLookup on the streaming source reads the nested dirs;
+   * partition-column inference is off under recursive lookup, so `wal_file`
+   * never leaks into the schema.
    */
   def writeWal(spark: SparkSession, p: GenParams, walDir: String): Unit = {
     writeWalEra0(spark, p, walDir)
@@ -154,11 +164,12 @@ object ChangelogGen {
       .map { case (f, e) => WalRow(f, e.op, e.lsn, e.conv_id, e.turn_idx, e.role,
         e.text, e.tool, e.ts, e.tool_meta) }
       .filter(_.wal_file < p.evolveFile)
-      .repartitionByRange(p.evolveFile, $"wal_file")
+      .repartition(p.evolveFile, $"wal_file")
       .sortWithinPartitions($"wal_file", $"lsn")
-      .drop("wal_file", "tool_meta")
-      .write.mode(SaveMode.Overwrite).parquet(s"$walDir/era=0")
-    stampModTimes(s"$walDir/era=0", globalOffset = 0)
+      .drop("tool_meta")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("wal_file").parquet(s"$walDir/era=0")
+    stampModTimes(s"$walDir/era=0")
   }
 
   def writeWalEra1(spark: SparkSession, p: GenParams, walDir: String): Unit = {
@@ -168,26 +179,31 @@ object ChangelogGen {
         .map { case (f, e) => WalRow(f, e.op, e.lsn, e.conv_id, e.turn_idx, e.role,
           e.text, e.tool, e.ts, e.tool_meta) }
         .filter(_.wal_file >= p.evolveFile)
-        .repartitionByRange(p.nFiles - p.evolveFile, $"wal_file")
+        .repartition(p.nFiles - p.evolveFile, $"wal_file")
         .sortWithinPartitions($"wal_file", $"lsn")
-        .drop("wal_file")
-        .write.mode(SaveMode.Overwrite).parquet(s"$walDir/era=1")
-      stampModTimes(s"$walDir/era=1", globalOffset = p.evolveFile)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("wal_file").parquet(s"$walDir/era=1")
+      stampModTimes(s"$walDir/era=1")
     }
   }
 
   /** Fixed base well in the past so appended eras always sort after by index. */
   private val ModTimeBase = 1600000000000L
 
-  /** part-NNNNN file index -> modTime = base + (offset + NNNNN) seconds. */
-  private def stampModTimes(dir: String, globalOffset: Int): Unit = {
+  /** wal_file=N directory -> its part files get modTime = base + N seconds
+    * (N is the global segment index, so eras need no offset). */
+  private def stampModTimes(dir: String): Unit = {
     val d = new java.io.File(dir)
-    val parts = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.startsWith("part-"))
-    parts.foreach { f =>
-      val idx = f.getName.stripPrefix("part-").takeWhile(_.isDigit).toInt
-      val ok = f.setLastModified(ModTimeBase + (globalOffset + idx) * 1000L)
-      require(ok, s"failed to set modTime on $f")
+    val subdirs = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("wal_file="))
+    subdirs.foreach { sd =>
+      val idx = sd.getName.stripPrefix("wal_file=").toInt
+      Option(sd.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+        .foreach { f =>
+          val ok = f.setLastModified(ModTimeBase + idx * 1000L)
+          require(ok, s"failed to set modTime on $f")
+        }
     }
   }
 

@@ -219,19 +219,30 @@ object MergeInto {
       val k1 = keyCols.head
       val k1Type = bNorm.schema(k1).dataType
       val prunable = KeyCodec.supports(k1Type)
+      val isMor = opts.mode == MergeMode.Mor
       val tStats = System.nanoTime()
-      val (bRows, bMinLsn, bMaxLsn, bDeletes, approxKeys, keyLo, keyHi) = {
-        val r = bNorm.agg(count(lit(1)), min(col(LsnCol)), max(col(LsnCol)),
-          sum(when(col(DeletedCol), 1L).otherwise(0L)),
-          approx_count_distinct(col(k1)),
-          min(col(k1)), max(col(k1))).head()
-        def enc(i: Int): String =
-          if (!prunable || r.isNullAt(i)) null else KeyCodec.encode(k1Type, r.get(i))
-        (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
-          if (r.isNullAt(2)) -1L else r.getLong(2),
-          if (r.isNullAt(3)) 0L else r.getLong(3), r.getLong(4),
-          enc(5), enc(6))
-      }
+      // MoR epochs never read the base, so they need NO pre-write job at all:
+      // row count, lsn bounds and tombstone telemetry ride the WRITE job via
+      // CollectMetrics (Observation) — measured 1-2s of serial per-epoch time
+      // for even a zero-column pre-count at 8M-row epochs. CoW keeps the full
+      // stats pass: key bounds must exist BEFORE deciding which base files to
+      // read, and file sizing needs the row estimate up front.
+      val morObs = if (isMor) Some(new org.apache.spark.sql.Observation()) else None
+      val (bRows, bMinLsn0, bMaxLsn0, bDeletes0, approxKeys, keyLo, keyHi) =
+        if (isMor) {
+          (-1L, -1L, -1L, 0L, Long.MaxValue, null: String, null: String)
+        } else {
+          val r = bNorm.agg(count(lit(1)), min(col(LsnCol)), max(col(LsnCol)),
+            sum(when(col(DeletedCol), 1L).otherwise(0L)),
+            approx_count_distinct(col(k1)),
+            min(col(k1)), max(col(k1))).head()
+          def enc(i: Int): String =
+            if (!prunable || r.isNullAt(i)) null else KeyCodec.encode(k1Type, r.get(i))
+          (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+            if (r.isNullAt(2)) -1L else r.getLong(2),
+            if (r.isNullAt(3)) 0L else r.getLong(3), r.getLong(4),
+            enc(5), enc(6))
+        }
       val statsMs = millisSince(tStats)
       val tKeys = System.nanoTime()
       // Exact key set (encoded) for pruning + skew signal. CoW only: MoR
@@ -251,7 +262,7 @@ object MergeInto {
         } else (None: Option[Array[String]], bRows)
       val keysMs = millisSince(tKeys)
 
-      if (bRows == 0) {
+      if (!isMor && bRows == 0) {
         val next = table.commitChange(snap, snap.schemaJson, Set.empty, Nil,
           Some((ckptId, epochId)))
         return MergeStats(ckptId, epochId, next.version, 0, -1, -1, 0, 0, 0,
@@ -269,26 +280,38 @@ object MergeInto {
 
       val newVersion = snap.version + 1
       val outDir = table.newDataDir(newVersion)
-      val estRows = touched.map(_.rows).sum + bRows
       // File-count target, floored at 2x cluster parallelism: with few/large
       // target files the final sort+write would otherwise run as 1-2 tasks
       // and serialize the whole epoch; the 2x (two task waves per stage)
       // smooths per-task stragglers — a single-wave stage finishes with its
       // SLOWEST task, a real tail cost on shared/heterogeneous nodes.
-      // The floor is itself bounded by minRowsPerFile so tiny epochs don't
-      // spray micro-files (compaction cleans up what remains).
-      val bySize = (estRows + opts.targetRowsPerFile - 1) / opts.targetRowsPerFile
-      val byPar = math.min(2L * spark.sparkContext.defaultParallelism,
-        estRows / opts.minRowsPerFile)
-      val nOut = math.max(1L, math.max(bySize, byPar)).toInt
+      // CoW bounds the floor by minRowsPerFile so tiny epochs don't spray
+      // micro-files; MoR has no pre-write row count (by design, see the
+      // stats pass) and accepts up to 2x-parallelism small delta files for
+      // tiny epochs — they are short-lived and folded away.
+      val nOut = if (isMor) {
+        2 * spark.sparkContext.defaultParallelism
+      } else {
+        val estRows = touched.map(_.rows).sum + bRows
+        val bySize = (estRows + opts.targetRowsPerFile - 1) / opts.targetRowsPerFile
+        val byPar = math.min(2L * spark.sparkContext.defaultParallelism,
+          estRows / opts.minRowsPerFile)
+        math.max(1L, math.max(bySize, byPar)).toInt
+      }
 
       val tWrite = System.nanoTime()
       val isDelta = opts.mode == MergeMode.Mor
+      // MoR telemetry rides the write job (see stats pass above)
+      val obsNorm = morObs.map(o => bNorm.observe(o,
+        count(lit(1)).as("rows"),
+        min(col(LsnCol)).as("minLsn"), max(col(LsnCol)).as("maxLsn"),
+        sum(when(col(DeletedCol), 1L).otherwise(0L)).as("dels")))
+        .getOrElse(bNorm)
       val toWrite = opts.mode match {
         case MergeMode.Mor if snap.sparse =>
           // within-batch sparse collapse: exact because cell lsns preserve
           // per-column provenance (see resolveSparse)
-          resolveSparse(bNorm.repartition(nOut, keyCols.map(col): _*),
+          resolveSparse(obsNorm.repartition(nOut, keyCols.map(col): _*),
             keyCols, nonKeyPayload)
         case MergeMode.Mor =>
           // merge-on-read: write ONLY the batch, resolved within itself
@@ -296,7 +319,7 @@ object MergeInto {
           // exchange: no range-boundary sampling job, so the batch is
           // scanned exactly once per epoch — delta files are folded soon
           // anyway, so tight range bounds buy little there.
-          resolveHashDedup(bNorm, keyCols, nOut)
+          resolveHashDedup(obsNorm, keyCols, nOut)
         case MergeMode.Cow if snap.sparse =>
           val target =
             if (touched.isEmpty)
@@ -343,6 +366,16 @@ object MergeInto {
       }
       toWrite.write.mode("overwrite").parquet(outDir)
       val writeMs = millisSince(tWrite)
+      // collect the ridden-along MoR telemetry (the write action finished,
+      // so get() returns immediately)
+      val (bRowsFinal, bMinLsn, bMaxLsn, bDeletes) = morObs match {
+        case Some(o) =>
+          val m = o.get
+          def l(k: String, d: Long) =
+            m.get(k).collect { case v: java.lang.Long => v.longValue() }.getOrElse(d)
+          (l("rows", 0L), l("minLsn", -1L), l("maxLsn", -1L), l("dels", 0L))
+        case None => (bRows, bMinLsn0, bMaxLsn0, bDeletes0)
+      }
 
       // --- per-file stats from parquet footers (driver-side, no re-scan) ----
       val tFooter = System.nanoTime()
@@ -359,7 +392,7 @@ object MergeInto {
 
       // committed.version, not newVersion: a disjoint-writer commit retry
       // (e.g. racing compaction) may land the epoch at a later version
-      val stats = MergeStats(ckptId, epochId, committed.version, bRows, bMinLsn, bMaxLsn,
+      val stats = MergeStats(ckptId, epochId, committed.version, bRowsFinal, bMinLsn, bMaxLsn,
         outputRows, bDeletes, touched.size, untouched.size, newFiles.size,
         millisSince(t0), statsMs, keysMs, writeMs, footerMs, commitMs,
         noop = false)
@@ -371,8 +404,13 @@ object MergeInto {
         val (deltas, base) = afterFiles.partition(_.delta)
         val deltaRows = deltas.map(_.rows).sum
         val baseRows = base.map(_.rows).sum
+        // ratio trigger only once a base EXISTS: with an empty base a "fold"
+        // is a pure relabel (deltas -> base, same file count, no read-amp
+        // gain) that rewrites every ingested row — measured as the single
+        // largest cost of a from-empty ingest window. Until the first real
+        // fold, the file-count trigger bounds read fan-in on its own.
         if (deltas.size > opts.morCompactMaxDeltaFiles ||
-            deltaRows > (baseRows.max(1L) * opts.morCompactDeltaRatio))
+            (baseRows > 0 && deltaRows > baseRows * opts.morCompactDeltaRatio))
           Compaction.foldDeltas(spark, table, opts.targetRowsPerFile, opts.minRowsPerFile)
       }
       stats

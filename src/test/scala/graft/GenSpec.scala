@@ -57,8 +57,11 @@ class GenSpec extends AnyFunSuite {
     val spark = TestSpark.spark
     val wal = TestSpark.tmpDir("gen-wal-order")
     ChangelogGen.writeWal(spark, p, wal)
-    val files = new java.io.File(wal).listFiles().flatMap(_.listFiles())
-      .filter(f => f.getName.startsWith("part-") && f.length > 0)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isFile) Seq(f)
+      else Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+    val files = walk(new java.io.File(wal))
+      .filter(f => f.getName.startsWith("part-") && f.length > 0).toArray
     assert(files.length > 2)
     val byModTime = files.sortBy(_.lastModified)
     assert(byModTime.map(_.lastModified).distinct.length == files.length,
