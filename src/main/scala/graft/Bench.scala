@@ -67,9 +67,12 @@ object Bench {
 
   /**
    * Fixed-total-work memory-streaming probe: 64 tasks x (64 MiB long array
-   * scanned 8x) = ~32 GiB of sequential reads regardless of width — the
+   * scanned 16x) = ~64 GiB of sequential reads regardless of width — the
    * channel shuffle writes, sort spills and parquet encoding actually ride.
-   * 64 tasks split evenly at both widths (8 and 32 cores).
+   * 64 tasks split evenly at both widths (8 and 32 cores). Must run on a
+   * FRESH session heap (before the ingest): on a post-ingest heap the
+   * 64 MiB humongous allocations collide with leftover garbage and the
+   * probe measures GC, not the memory bus (observed 0.06 "efficiency").
    */
   private def bwRun(spark: SparkSession, cores: Int): Double = {
     val t0 = System.nanoTime()
@@ -79,7 +82,7 @@ object Bench {
       while (j < a.length) { a(j) = j.toLong; j += 1 }
       var s = 0L
       var r = 0
-      while (r < 8) {
+      while (r < 16) {
         var i = 0
         while (i < a.length) { s += a(i); i += 1 }
         r += 1
@@ -109,6 +112,12 @@ object Bench {
         IngestConfig(warmWalDir, s"$work/warmtable$cores-$rep",
           s"$work/warmckpt$cores-$rep"),
         org.apache.spark.sql.streaming.Trigger.AvailableNow()).awaitTermination()
+      // calibration on the still-clean session heap, warm (first runs
+      // discarded), BEFORE the timed ingest — see bwRun
+      cpuRun(spark, cores)
+      bwRun(spark, cores)
+      val cpuSec = cpuRun(spark, cores)
+      val bwSec = bwRun(spark, cores)
       // ~8M-row epochs: with merge-side dedup (no streaming state store) the
       // epoch size is bounded only by shuffle/sort memory, so larger epochs
       // amortize the per-epoch fixed costs (planning, offsets, footer stats,
@@ -127,11 +136,9 @@ object Bench {
           maxFilesPerTrigger = Some(trigger)),
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       q.awaitTermination()
-      graft.lake.Compaction.foldDeltas(spark, graft.lake.LakeTable.load(tableDir))
+      graft.lake.Compaction.foldDeltas(spark, graft.lake.LakeTable.load(tableDir), rangePlace = false)
       val eps = p.nEvents.toDouble / ((System.nanoTime() - t0) / 1e9)
-      cpuRun(spark, cores) // probe warmups discarded
-      bwRun(spark, cores)
-      (eps, cpuRun(spark, cores), bwRun(spark, cores))
+      (eps, cpuSec, bwSec)
     } finally spark.stop()
   }
 
@@ -211,10 +218,18 @@ object Bench {
       // selecting the pair maximizing eh/el would systematically pick
       // windows where noise happened to hit only the lo run. Calibration
       // probes are likewise best-of (fastest) per width.
-      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4").toInt
+      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
       val runs = (1 to reps).map { i =>
         val lo = ingestOnce(coresLo, s"$work/wal", s"$work/walwarm", work, p, i)
         val hi = ingestOnce(cpus, s"$work/wal", s"$work/walwarm", work, p, i)
+        // keep tmpfs flat across reps: only the LAST rep's tables feed the
+        // verification gate; stale rep state would otherwise grow the
+        // resident set by ~5 GiB per rep and squeeze the page cache the
+        // wide runs depend on
+        if (i < reps) Seq(coresLo, cpus).foreach { c =>
+          Seq(s"table$c-$i", s"ckpt$c-$i", s"warmtable$c-$i", s"warmckpt$c-$i",
+            s"local$c-$i").foreach(d => rmTree(new java.io.File(s"$work/$d")))
+        }
         (lo, hi)
       }
       val widthRatio = cpus.toDouble / coresLo
@@ -258,11 +273,15 @@ object Bench {
       println(
         f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_errors":$errs,"sf":"$sfDir","ingest":{"events":$nEvents,"cores_lo":$coresLo,"events_per_sec_lo":$epsLo%.0f,"cores_hi":$cpus,"events_per_sec_hi":$epsHi%.0f,"scaling_efficiency":$eff%.3f,"cpu_calib_efficiency":$cpuEff%.3f,"bw_calib_efficiency":$bwEff%.3f,"scaling_efficiency_hw_normalized":$effNorm%.3f,"verified_lo":$verifiedLo,"verified_hi":$verifiedHi,"final_state_verified":${verifiedLo && verifiedHi}}}""")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(work))
+      rmTree(new java.io.File(work))
     }
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) {
+      val c = f.listFiles()
+      if (c != null) c.foreach(rmTree)
+    }
+    f.delete(); ()
   }
 }

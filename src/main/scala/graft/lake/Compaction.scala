@@ -74,11 +74,17 @@ object Compaction {
    * Amortized via MergeOptions' ratio trigger: folding when deltas reach the
    * base's size bounds total write amplification at O(log) rewrites per row.
    */
+  /** `rangePlace`: range-partition the folded base for tight per-file key
+    * bounds (the default — feeds CoW pruning and compact). Pass false for a
+    * pure-MoR table, where no code path prunes on base bounds: the hash
+    * exchange skips repartitionByRange's whole-input boundary-sampling scan,
+    * folding in one pass over the data. */
   def foldDeltas(
       spark: SparkSession,
       table: LakeTable,
       targetRowsPerFile: Long = 500000L,
-      minRowsPerFile: Long = 10000L): CompactionStats = {
+      minRowsPerFile: Long = 10000L,
+      rangePlace: Boolean = true): CompactionStats = {
     val t0 = System.nanoTime()
     val snap = table.currentSnapshot
     val all = table.files(snap)
@@ -86,7 +92,9 @@ object Compaction {
     val schema = snap.schema
     val estRows = all.map(_.rows).sum
     val bySize = (estRows + targetRowsPerFile - 1) / targetRowsPerFile
-    val byPar = math.min(spark.sparkContext.defaultParallelism.toLong,
+    // 2x parallelism = two task waves, same rationale as the merge write:
+    // a single-wave fold finishes with its slowest task
+    val byPar = math.min(2L * spark.sparkContext.defaultParallelism,
       estRows / minRowsPerFile)
     val nOut = math.max(1L, math.max(bySize, byPar)).toInt
     val newVersion = snap.version + 1
@@ -99,8 +107,10 @@ object Compaction {
           raw.repartitionByRange(nOut, snap.keyCols.map(col): _*), snap.keyCols,
           schema.fieldNames.toSeq.filterNot(c =>
             LakeTable.MetaCols.contains(c) || snap.keyCols.contains(c)))
-      else
+      else if (rangePlace)
         graft.merge.MergeInto.resolveSortDedup(raw, snap.keyCols, nOut)
+      else
+        graft.merge.MergeInto.resolveHashDedup(raw, snap.keyCols, nOut)
     folded.write.mode("overwrite").parquet(outDir)
 
     val newFiles = writtenStats(spark, table, outDir, newVersion, delta = false)

@@ -104,7 +104,17 @@ final case class MergeOptions(
       * total writes instead of the ratio trigger's logarithmic amortization,
       * and worse on wider clusters. 1024 files = tens of epochs of fan-in,
       * with the row-ratio trigger remaining the primary policy. */
-    morCompactMaxDeltaFiles: Int = 1024)
+    morCompactMaxDeltaFiles: Int = 1024,
+    /** MoR: resolve the batch within itself before writing delta files
+      * (default). With `false` the epoch writes the normalized batch AS
+      * SCANNED — no shuffle, no sort: a pure map job (scan -> project ->
+      * encode) that scales near-perfectly with cores, at the cost of delta
+      * files carrying intra-batch superseded row versions (read-time and
+      * fold-time resolution are unchanged — the max-lsn fold is total, so
+      * correctness is identical; deltas are just larger when one batch
+      * updates the same key repeatedly). The right trade when batches are
+      * mostly unique keys and folds are frequent. */
+    morResolveWithinBatch: Boolean = true)
 
 sealed trait ResolveStrategy
 object ResolveStrategy {
@@ -313,6 +323,10 @@ object MergeInto {
           // per-column provenance (see resolveSparse)
           resolveSparse(obsNorm.repartition(nOut, keyCols.map(col): _*),
             keyCols, nonKeyPayload)
+        case MergeMode.Mor if !opts.morResolveWithinBatch =>
+          // shuffle-free epoch: the normalized batch goes straight to delta
+          // files in scan order (see MergeOptions.morResolveWithinBatch)
+          obsNorm
         case MergeMode.Mor =>
           // merge-on-read: write ONLY the batch, resolved within itself
           // (cross-epoch conflicts fold at read / compaction time). Hash

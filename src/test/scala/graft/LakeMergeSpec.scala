@@ -199,6 +199,33 @@ class LakeMergeSpec extends AnyFunSuite {
     } finally ev.unpersist()
   }
 
+  test("MoR without within-batch resolution still reproduces the fold oracle") {
+    // shuffle-free epochs (morResolveWithinBatch = false): delta files carry
+    // intra-batch superseded versions; read-time and fold-time resolution
+    // must still converge to the same state
+    val dir = TestSpark.tmpDir("lake-mor-raw")
+    val table = LakeTable.create(s"$dir/t", Schemas.turn)
+    val raw = MergeOptions(mode = MergeMode.Mor, morResolveWithinBatch = false,
+      morCompactDeltaRatio = 1e9, morCompactMaxDeltaFiles = Int.MaxValue)
+    val pr = p.copy(nEvents = 5000)
+    val ev = ChangelogGen.events(spark, pr)
+      .map { case (f, e) => (f, e.op, e.lsn, e.conv_id, e.turn_idx, e.role, e.text,
+        e.tool, e.ts, e.tool_meta) }
+      .toDF("wal_file", "op", "lsn", "conv_id", "turn_idx", "role", "text",
+        "tool", "ts", "tool_meta").cache()
+    try {
+      (0 until pr.nFiles).foreach { f =>
+        MergeInto.merge(spark, table,
+          ev.filter($"wal_file" === f).drop("wal_file"), "ck", f.toLong, raw)
+      }
+      val want = oracleState(pr)
+      assert(tableState(table) == want, "read-time fold over raw deltas mismatch")
+      graft.lake.Compaction.foldDeltas(spark, table, rangePlace = false)
+      assert(!table.currentFiles.exists(_.delta))
+      assert(tableState(table) == want, "hash fold over raw deltas mismatch")
+    } finally ev.unpersist()
+  }
+
   test("incremental changes: MoR delta commits form a consumable changelog") {
     val dir = TestSpark.tmpDir("lake-changes")
     val table = LakeTable.create(s"$dir/t", Schemas.turn)
