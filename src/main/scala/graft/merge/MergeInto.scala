@@ -154,6 +154,12 @@ final case class MergeStats(
 object MergeInto {
   import LakeTable.{DeletedCol, LsnCol}
 
+  /** last observed batch rows per checkpoint — the MoR file-count estimator
+    * (in-memory only: a restart's first epoch just falls back to the
+    * parallelism floor) */
+  private val lastBatchRows =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+
   /**
    * Merge one change batch into the table under (ckptId, epochId) idempotence.
    * Batch columns: opCol, lsnCol + payload columns (superset-merged into the
@@ -297,16 +303,22 @@ object MergeInto {
       // SLOWEST task, a real tail cost on shared/heterogeneous nodes.
       // CoW bounds the floor by minRowsPerFile so tiny epochs don't spray
       // micro-files; MoR has no pre-write row count (by design, see the
-      // stats pass) and accepts up to 2x-parallelism small delta files for
-      // tiny epochs — they are short-lived and folded away.
-      val nOut = if (isMor) {
-        2 * spark.sparkContext.defaultParallelism
-      } else {
-        val estRows = touched.map(_.rows).sum + bRows
+      // stats pass) and instead sizes from the PREVIOUS epoch's observed
+      // rows — steady streams see stable batch sizes, so this converges
+      // after one epoch; only the very first epoch (or the first after a
+      // JVM restart) pays up to 2x-parallelism small delta files, which are
+      // short-lived and folded away.
+      def sized(estRows: Long): Int = {
         val bySize = (estRows + opts.targetRowsPerFile - 1) / opts.targetRowsPerFile
         val byPar = math.min(2L * spark.sparkContext.defaultParallelism,
           estRows / opts.minRowsPerFile)
         math.max(1L, math.max(bySize, byPar)).toInt
+      }
+      val nOut = if (isMor) {
+        Option(lastBatchRows.get(ckptId)).map(r => sized(r.longValue()))
+          .getOrElse(2 * spark.sparkContext.defaultParallelism)
+      } else {
+        sized(touched.map(_.rows).sum + bRows)
       }
 
       val tWrite = System.nanoTime()
@@ -390,6 +402,7 @@ object MergeInto {
           (l("rows", 0L), l("minLsn", -1L), l("maxLsn", -1L), l("dels", 0L))
         case None => (bRows, bMinLsn0, bMaxLsn0, bDeletes0)
       }
+      if (isMor) lastBatchRows.put(ckptId, bRowsFinal)
 
       // --- per-file stats from parquet footers (driver-side, no re-scan) ----
       val tFooter = System.nanoTime()
