@@ -82,6 +82,24 @@ class PlanSpec extends AnyFunSuite {
     assert(ex == 1, s"expected 1 shuffle in MoR read, saw $ex:\n$p")
   }
 
+  test("sparse resolution: all per-column folds share one key clustering") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id").cast("string").as("conv_id"),
+        (col("event_id") % 5).cast("int").as("turn_idx"),
+        col("event_id").as("_lsn"), lit(false).as("_deleted"),
+        col("value"), col("event_type"),
+        map_from_arrays(array(lit("value"), lit("event_type")),
+          array(col("event_id"), col("event_id"))).as("_cell_lsn"))
+    val p = plan(MergeInto.resolveSparse(
+      df.repartition(8, col("conv_id"), col("turn_idx")),
+      Seq("conv_id", "turn_idx"), Seq("value", "event_type")))
+    // the caller's hash exchange must satisfy every window's clustering:
+    // one shuffle total, however many payload columns fold
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 shuffle in sparse resolve, saw $exchanges:\n$p")
+  }
+
   test("sort-dedup resolution: one exchange, one sort, rank-limit pushdown") {
     import org.apache.spark.sql.functions._
     // real (non-literal) key columns: a folded literal key would drop out of
