@@ -96,7 +96,13 @@ object LakeTable {
   val LsnCol = "_lsn"
   val DeletedCol = "_deleted"
   val CellLsnCol = "_cell_lsn"
-  val MetaCols: Seq[String] = Seq(LsnCol, DeletedCol, CellLsnCol)
+  /** sparse tables only: the key's newest-delete lsn, persisted THROUGH folds.
+    * Without it a fold that keeps a post-delete row would forget the
+    * tombstone's lsn, and a later epoch's late event with a cell lsn below
+    * the (forgotten) delete would resurrect dead cells — the fold would not
+    * be associative and final state would depend on when compaction ran. */
+  val DelLsnCol = "_del_lsn"
+  val MetaCols: Seq[String] = Seq(LsnCol, DeletedCol, CellLsnCol, DelLsnCol)
   /** current snapshot-JSON layout (2 = keyCols/manifests/epochHwm form;
     * 1 was the round-1 files/epochs form, no longer readable) */
   val FormatVersion = 2
@@ -124,7 +130,9 @@ object LakeTable {
       StructField(LsnCol, LongType, nullable = true),
       StructField(DeletedCol, BooleanType, nullable = true))
     if (sparse)
-      base :+ StructField(CellLsnCol, MapType(StringType, LongType), nullable = true)
+      base ++ Seq(
+        StructField(CellLsnCol, MapType(StringType, LongType), nullable = true),
+        StructField(DelLsnCol, LongType, nullable = true))
     else base
   }
 
@@ -145,6 +153,44 @@ object LakeTable {
     t.commit(Snapshot(0L, -1L, stored.json, keyCols.toList, Nil, Map.empty,
       sparseUpdates))
     t
+  }
+
+  /**
+   * In-place migrator for tables written by an unversioned build whose
+   * snapshot layout already matches v2 (keyCols/manifests/epochHwm fields
+   * present, just no formatVersion stamp): rewrites each unstamped snapshot
+   * with `formatVersion` added. Snapshots that do NOT carry the v2 marker
+   * fields are refused (a genuine pre-v2 layout cannot be stamped — json4s
+   * would read it as an empty table with a blank exactly-once ledger).
+   * Returns the number of snapshots stamped.
+   */
+  def stampFormatVersion(dir: String): Int = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val snapDir = Paths.get(dir, "_snapshots")
+    require(Files.isDirectory(snapDir), s"not a lake table: $dir")
+    val s = Files.list(snapDir)
+    val snaps = try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && n.endsWith(".json")).toList
+    finally s.close()
+    snaps.count { name =>
+      val p = snapDir.resolve(name)
+      val raw = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      val ast = JsonMethods.parse(raw)
+      (ast \ "formatVersion") match {
+        case JInt(_) => false // already stamped — leave it alone
+        case _ =>
+          val compatible = Seq("keyCols", "manifests", "epochHwm", "schemaJson")
+            .forall(f => (ast \ f) != JNothing)
+          require(compatible,
+            s"$dir/$name: layout is genuinely pre-v$FormatVersion (missing " +
+              "keyCols/manifests/epochHwm fields) — cannot stamp; recreate the table")
+          val stamped = ast merge JObject("formatVersion" -> JInt(FormatVersion))
+          Files.write(p, JsonMethods.compact(JsonMethods.render(stamped))
+            .getBytes(StandardCharsets.UTF_8))
+          true
+      }
+    }
   }
 
   def load(dir: String): LakeTable = {
@@ -196,8 +242,11 @@ final class LakeTable(val dir: String) {
         s"$dir: snapshot v$version has formatVersion $v; this build reads " +
           s"only $FormatVersion — migrate the table or use a matching build")
       case _ => throw new IllegalStateException(
-        s"$dir: snapshot v$version carries no formatVersion (pre-v$FormatVersion " +
-          "layout); this build cannot read it — recreate or migrate the table")
+        s"$dir: snapshot v$version carries no formatVersion — written by an " +
+          s"unversioned build (the field layout may well be v$FormatVersion-" +
+          "compatible, it is just unstamped). Run " +
+          "LakeTable.stampFormatVersion(dir) to migrate field-compatible " +
+          "snapshots in place, or recreate the table")
     }
     Serialization.read[Snapshot](raw)(fmts, manifest[Snapshot])
   }

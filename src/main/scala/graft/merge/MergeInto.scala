@@ -208,15 +208,19 @@ object MergeInto {
     // event's lsn — the cell provenance resolveSparse folds by
     val sparseCols =
       if (!snap.sparse) Nil
-      else Seq(map_filter(
-        map_from_arrays(
-          array(nonKeyPayload.map(lit): _*),
-          array(nonKeyPayload.map { c =>
-            if (!batchCols.contains(c)) lit(null).cast(LongType)
-            else when(!isDelete && col(c).isNotNull,
-              col(opts.lsnCol).cast(LongType))
-          }: _*)),
-        (_, v) => v.isNotNull).as(LakeTable.CellLsnCol))
+      else Seq(
+        map_filter(
+          map_from_arrays(
+            array(nonKeyPayload.map(lit): _*),
+            array(nonKeyPayload.map { c =>
+              if (!batchCols.contains(c)) lit(null).cast(LongType)
+              else when(!isDelete && col(c).isNotNull,
+                col(opts.lsnCol).cast(LongType))
+            }: _*)),
+          (_, v) => v.isNotNull).as(LakeTable.CellLsnCol),
+        // raw events carry no fold history; the delete watermark appears only
+        // on FOLDED rows (resolveSparse sets it) — see LakeTable.DelLsnCol
+        lit(null).cast(LongType).as(LakeTable.DelLsnCol))
     // NOT persisted: bNorm is a cheap scan+project recomputed by each of the
     // few jobs below; building a columnar cache of it costs multiples of the
     // recompute (measured) and is a serial, cores-insensitive fixed cost.
@@ -315,7 +319,8 @@ object MergeInto {
         math.max(1L, math.max(bySize, byPar)).toInt
       }
       val nOut = if (isMor) {
-        Option(lastBatchRows.get(ckptId)).map(r => sized(r.longValue()))
+        Option(lastBatchRows.get(ckptId)).map(_.longValue()).filter(_ > 0)
+          .map(sized)
           .getOrElse(2 * spark.sparkContext.defaultParallelism)
       } else {
         sized(touched.map(_.rows).sum + bRows)
@@ -402,7 +407,25 @@ object MergeInto {
           (l("rows", 0L), l("minLsn", -1L), l("maxLsn", -1L), l("dels", 0L))
         case None => (bRows, bMinLsn0, bMaxLsn0, bDeletes0)
       }
-      if (isMor) lastBatchRows.put(ckptId, bRowsFinal)
+      // estimator update only on non-empty epochs: recording 0 would make the
+      // NEXT epoch size to sized(0)=1 output partition and serialize a
+      // potentially large batch through a single task — an idle tick must not
+      // poison the estimate (nor should a restart: absent => parallelism floor)
+      if (isMor && bRowsFinal > 0) lastBatchRows.put(ckptId, bRowsFinal)
+
+      if (isMor && bRowsFinal == 0) {
+        // empty MoR epoch: advance the exactly-once ledger WITHOUT data files
+        // (a 0-row delta file would still cost a read-fold fan-in slot and a
+        // manifest entry per idle tick, forever)
+        deleteRecursively(outDir)
+        val next = table.commitChange(snap, storedSchema.json, Set.empty, Nil,
+          Some((ckptId, epochId)))
+        val stats = MergeStats(ckptId, epochId, next.version, 0, -1, -1,
+          untouched.map(_.rows).sum, 0, 0, untouched.size, 0,
+          millisSince(t0), statsMs, keysMs, writeMs, 0, 0, noop = false)
+        writeMetrics(spark, table, stats)
+        return stats
+      }
 
       // --- per-file stats from parquet footers (driver-side, no re-scan) ----
       val tFooter = System.nanoTime()
@@ -490,6 +513,15 @@ object MergeInto {
    * with it the fold is associative, so within-batch collapse, cross-epoch
    * read folds and compaction all compose exactly).
    *
+   * The key's newest-delete lsn is itself fold state: when a row NEWER than
+   * the delete survives the fold, the tombstone row is dropped, so its lsn
+   * must persist on the folded row (`_del_lsn`) — otherwise a later fold
+   * input carrying a late event with a cell lsn below the forgotten delete
+   * would resurrect dead cells (fold associativity would break: final state
+   * would depend on whether within-batch collapse or compaction ran). The
+   * per-row delete watermark is therefore greatest(own tombstone lsn,
+   * carried `_del_lsn`), folded by max per key and re-emitted.
+   *
    * Explicit-null writes are unrepresentable in sparse mode (null = unset),
    * matching the reference's column-subset semantics.
    *
@@ -498,15 +530,20 @@ object MergeInto {
    * placed/partitioned the data) — full-frame per-column max_by folds plus
    * one (key, lsn desc) row_number to keep a single resolved row per key.
    */
-  def resolveSparse(rows: DataFrame, keyCols: Seq[String],
+  def resolveSparse(rows0: DataFrame, keyCols: Seq[String],
       payloadCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // tolerate inputs from before the _del_lsn column existed (reads as null)
+    val rows =
+      if (rows0.columns.contains(LakeTable.DelLsnCol)) rows0
+      else rows0.withColumn(LakeTable.DelLsnCol, lit(null).cast(LongType))
     val kc = keyCols.map(col)
     val wFull = Window.partitionBy(kc: _*)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val wOrd = Window.partitionBy(kc: _*).orderBy(col(LsnCol).desc)
-    val lastDel = max(when(coalesce(col(DeletedCol), lit(false)), col(LsnCol)))
-      .over(wFull)
+    val lastDel = max(greatest(
+      when(coalesce(col(DeletedCol), lit(false)), col(LsnCol)),
+      col(LakeTable.DelLsnCol))).over(wFull)
     def cellOf(c: String) = element_at(col(LakeTable.CellLsnCol), lit(c))
     def masked(c: String) =
       when(cellOf(c) > coalesce(col("_ld"), lit(Long.MinValue)), cellOf(c))
@@ -526,6 +563,7 @@ object MergeInto {
       rows.columns.toSeq.map {
         case c if payloadCols.contains(c) => col(s"_v_$c").as(c)
         case c if c == LakeTable.CellLsnCol => cellMap.as(c)
+        case c if c == LakeTable.DelLsnCol => col("_ld").as(c)
         case c => col(c)
       }
     folded.select(outCols: _*)
@@ -621,6 +659,19 @@ object MergeInto {
     StructType(snap.schema.fields.filterNot(f => LakeTable.MetaCols.contains(f.name)))
 
   private def millisSince(t0: Long): Long = (System.nanoTime() - t0) / 1000000L
+
+  /** local-fs recursive delete (staging dirs written then discarded) */
+  private def deleteRecursively(dir: String): Unit = {
+    val p =
+      if (dir.startsWith("file:")) java.nio.file.Paths.get(java.net.URI.create(dir).getPath)
+      else java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally s.close()
+    }
+  }
 
   /** One JSON line per epoch, written driver-side: a Spark job for a 1-row
     * append costs ~0.5s of serial time per epoch, which at small-epoch sizes

@@ -75,12 +75,15 @@ object Http {
   def fetchPaged(spark: SparkSession, maxPages: Int = 1000)(
       pageUrl: Int => String): DataFrame = {
     import spark.implicits._
+    // take(maxPages + 1), not maxPages: capping BEFORE the size check would
+    // hide the terminating empty page of a corpus with exactly maxPages
+    // non-empty pages — takeWhile must be allowed to observe it
     val pages = Iterator.from(0)
       .map(i => fetchBody(pageUrl(i)))
       .takeWhile(_.trim.nonEmpty)
-      .take(maxPages)
+      .take(maxPages + 1)
       .toSeq
-    require(pages.size < maxPages,
+    require(pages.size <= maxPages,
       s"pagination did not terminate within $maxPages pages")
     val lines = pages.iterator.flatMap(_.linesIterator).filter(_.nonEmpty).toSeq
     spark.read.json(spark.createDataset(lines))

@@ -96,6 +96,10 @@ class HttpSpec extends AnyFunSuite {
       val ex = intercept[IllegalArgumentException](
         Http.fetchPaged(spark, maxPages = 5)(_ => s"$base/inf"))
       assert(ex.getMessage.contains("did not terminate"))
+      // boundary: a corpus with EXACTLY maxPages non-empty pages terminates
+      // legitimately (the empty terminating page is observable past the cap)
+      val exact = Http.fetchPaged(spark, maxPages = 3)(i => s"$base/page?p=$i")
+      assert(exact.count() == 25)
     } finally server.stop(0)
   }
 }

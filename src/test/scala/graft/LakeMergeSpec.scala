@@ -474,6 +474,120 @@ class LakeMergeSpec extends AnyFunSuite {
     assert(table.read(spark).collect()(0).getAs[String]("text") == "edited@5")
   }
 
+  test("sparse upserts: folds persist the delete watermark (collapsed == raw)") {
+    // The associativity trap on the DELETE side: I@1(role), D@3, I@4(text)
+    // collapsed (within one batch, or by compaction) keeps only the max-lsn
+    // row — if the tombstone's lsn were forgotten, a late pre-delete update
+    // U@2(role) would pass the cell mask and resurrect the dead cell. The
+    // folded row's _del_lsn carries the watermark, so collapsed and raw
+    // inputs must fold identically.
+    def mkRow(op: String, lsn: Long, role: String, tx: String) =
+      Seq((op, lsn, "c1", 0, role, tx, None: Option[String],
+        Timestamp.valueOf("2025-01-01 00:00:00")))
+        .toDF("op", "lsn", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val mor = MergeOptions(mode = MergeMode.Mor,
+      morCompactDeltaRatio = 1e9, morCompactMaxDeltaFiles = Int.MaxValue)
+    def finalState(collapse: String): (String, String) = {
+      val dir = TestSpark.tmpDir(s"lake-sparse-delwm-$collapse")
+      val table = LakeTable.create(s"$dir/t", Schemas.turn, sparseUpdates = true)
+      collapse match {
+        case "batch" => // all three in ONE batch: within-batch collapse runs
+          MergeInto.merge(spark, table,
+            mkRow("I", 1L, "zombie", null)
+              .unionByName(mkRow("D", 3L, null, null))
+              .unionByName(mkRow("I", 4L, null, "fresh")), "ck", 0L, mor)
+        case "compaction" => // separate epochs, collapsed by foldDeltas
+          MergeInto.merge(spark, table, mkRow("I", 1L, "zombie", null), "ck", 0L, mor)
+          MergeInto.merge(spark, table, mkRow("D", 3L, null, null), "ck", 1L, mor)
+          MergeInto.merge(spark, table, mkRow("I", 4L, null, "fresh"), "ck", 2L, mor)
+          graft.lake.Compaction.foldDeltas(spark, table)
+        case "raw" => // separate epochs, NO collapse before the late event
+          MergeInto.merge(spark, table, mkRow("I", 1L, "zombie", null), "ck", 0L, mor)
+          MergeInto.merge(spark, table, mkRow("D", 3L, null, null), "ck", 1L, mor)
+          MergeInto.merge(spark, table, mkRow("I", 4L, null, "fresh"), "ck", 2L, mor)
+      }
+      // late pre-delete update: its cell lsn (2) is below the delete (3)
+      MergeInto.merge(spark, table, mkRow("U", 2L, "zombie", null), "ck", 9L, mor)
+      val r = table.read(spark).collect()
+      assert(r.length == 1, s"[$collapse] expected one live row, got ${r.toSeq}")
+      // state must also survive a FINAL fold unchanged
+      graft.lake.Compaction.foldDeltas(spark, table)
+      val rf = table.read(spark).collect()
+      assert(rf.length == 1)
+      assert(r(0).getAs[String]("role") == rf(0).getAs[String]("role") &&
+        r(0).getAs[String]("text") == rf(0).getAs[String]("text"),
+        s"[$collapse] fold changed state: ${r(0)} vs ${rf(0)}")
+      (r(0).getAs[String]("role"), r(0).getAs[String]("text"))
+    }
+    for (c <- Seq("batch", "compaction", "raw")) {
+      val (role, text) = finalState(c)
+      assert(text == "fresh", s"[$c] text: $text")
+      assert(role == null,
+        s"[$c] late pre-delete update resurrected a dead cell: role=$role")
+    }
+  }
+
+  test("empty MoR epoch: ledger-only commit, sizing estimator unpoisoned") {
+    val dir = TestSpark.tmpDir("lake-empty-epoch")
+    val table = LakeTable.create(s"$dir/t", Schemas.turn)
+    val mor = MergeOptions(mode = MergeMode.Mor, targetRowsPerFile = 1000000,
+      morCompactDeltaRatio = 1e9, morCompactMaxDeltaFiles = Int.MaxValue)
+    def batch(rows: Seq[(String, Long, String, Int)]) =
+      rows.map { case (op, lsn, c, t) =>
+        (op, lsn, c, t, "user", "txt", None: Option[String],
+          Timestamp.valueOf("2025-01-01 00:00:00"))
+      }.toDF("op", "lsn", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    // first epoch LARGE so the estimator converges to a multi-file size —
+    // the zero-row bug was exactly "a big epoch after an idle tick writes
+    // through sized(0)=1 task"
+    MergeInto.merge(spark, table,
+      batch((0 until 100000).map(i => ("I", i.toLong, s"c${i % 997}", i))), "ck", 0L, mor)
+    val filesBefore = table.currentFiles
+    // idle tick: zero rows
+    val s1 = MergeInto.merge(spark, table, batch(Nil), "ck", 1L, mor)
+    assert(!s1.noop && s1.filesAdded == 0,
+      s"empty epoch must commit ledger-only, added ${s1.filesAdded} files")
+    assert(table.currentFiles.map(_.path).toSet == filesBefore.map(_.path).toSet)
+    assert(table.hasEpoch("ck", 1L), "ledger must still advance")
+    // next real epoch: file count must NOT collapse to sized(0)=1
+    val par = spark.sparkContext.defaultParallelism
+    val s2 = MergeInto.merge(spark, table,
+      batch((0 until 100000).map(i => ("I", 1000L + i, s"c${i % 997}", i))),
+      "ck", 2L, mor)
+    assert(s2.filesAdded >= math.min(2 * par, 100000 / 10000),
+      s"post-idle epoch serialized: ${s2.filesAdded} files (parallelism $par)")
+    // replay of the empty epoch stays a no-op
+    assert(MergeInto.merge(spark, table, batch(Nil), "ck", 1L, mor).noop)
+  }
+
+  test("stampFormatVersion migrates unstamped field-compatible snapshots") {
+    val dir = TestSpark.tmpDir("lake-stamp")
+    val table = LakeTable.create(s"$dir/t", Schemas.turn)
+    MergeInto.merge(spark, table,
+      Seq(("I", 1L, "c1", 0, "user", "hi", None: Option[String],
+        Timestamp.valueOf("2025-01-01 00:00:00")))
+        .toDF("op", "lsn", "conv_id", "turn_idx", "role", "text", "tool", "ts"),
+      "ck", 0L, MergeOptions(mode = MergeMode.Mor))
+    // strip the stamp from every snapshot (simulating an unversioned build)
+    val snapDir = java.nio.file.Paths.get(s"$dir/t/_snapshots")
+    val snaps = java.nio.file.Files.list(snapDir).iterator()
+    while (snaps.hasNext) {
+      val p = snaps.next()
+      val raw = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      java.nio.file.Files.write(p,
+        raw.replace(s""""formatVersion":${LakeTable.FormatVersion},""", "")
+          .replace(s""","formatVersion":${LakeTable.FormatVersion}""", "")
+          .getBytes("UTF-8"))
+    }
+    val ex = intercept[IllegalStateException](table.currentSnapshot)
+    assert(ex.getMessage.contains("no formatVersion"), ex.getMessage)
+    val stamped = LakeTable.stampFormatVersion(s"$dir/t")
+    assert(stamped == 2, s"expected 2 snapshots stamped, got $stamped")
+    assert(table.read(spark).count() == 1) // readable again, ledger intact
+    assert(table.hasEpoch("ck", 0L))
+    assert(LakeTable.stampFormatVersion(s"$dir/t") == 0) // idempotent
+  }
+
   test("schema merge rejects type conflicts, appends new nullable columns") {
     import org.apache.spark.sql.types._
     val base = StructType(Seq(StructField("a", StringType), StructField("b", IntegerType)))
