@@ -140,71 +140,117 @@ object Compaction {
    * it, history is gone — the knob that keeps a 10^10-event table's storage
    * O(live data + window), not O(all data ever written).
    *
+   * Also garbage-collects ORPHANS: manifests, snapshot temp files and
+   * `data/v*-<nonce>` staging trees reachable from NO snapshot at all — the
+   * litter of a writer that crashed mid-commit (a commit stages data, writes
+   * its manifest, then atomically links the snapshot; a crash before the
+   * link leaks the first two, and liveness-based retention alone would keep
+   * them forever — unbounded storage leak on a long-lived table with
+   * occasional failures). Orphans younger than `orphanMinAgeMs` are spared:
+   * an IN-FLIGHT concurrent commit's fresh staging files look exactly like
+   * orphans until its snapshot lands, so the age floor must exceed the
+   * longest plausible commit (default 10 min).
+   *
    * Safe by construction: the liveness set is computed from RETAINED
    * snapshots' manifests, so a file shared by old and new snapshots
    * survives. Single-writer assumption (same as commits).
    *
-   * Returns (filesDeleted, snapshotsDeleted).
+   * Returns (filesDeleted incl. orphans, snapshotsDeleted).
    */
-  def vacuum(table: LakeTable, retainVersions: Int = 2): (Int, Int) = {
+  def vacuum(table: LakeTable, retainVersions: Int = 2,
+      orphanMinAgeMs: Long = 600000L): (Int, Int) = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     import scala.util.control.NonFatal
     require(retainVersions >= 1, "must retain at least the current snapshot")
     val current = table.currentVersion
     val cutoff = current - retainVersions + 1
-    if (cutoff <= 0) return (0, 0)
-    // a retained-window version may itself be missing (an earlier vacuum ran
-    // with a smaller window); a gone snapshot references nothing, so it
-    // simply contributes no liveness
-    val retained = (cutoff to current)
-      .filter(v => Files.exists(Paths.get(table.dir, "_snapshots", f"v$v%020d.json")))
-      .map(table.snapshot)
-    val liveFiles = retained.flatMap(s => table.files(s).map(_.path)).toSet
-    val liveManifests = retained.flatMap(_.manifests).toSet
-
-    // PLAN FULLY BEFORE DELETING ANYTHING: reading an old snapshot's files
-    // must never race this vacuum's own manifest deletions (a mid-loop
-    // interleave could crash on a just-deleted shared manifest and leave the
-    // table permanently un-vacuumable). Snapshots that reference manifests a
-    // PRIOR interrupted vacuum already removed are tolerated: their file
-    // lists are simply unknown, which only means some orphans survive until
-    // a later pass — never a wedge.
-    val oldSnaps = (0L until cutoff).filter(v =>
-      Files.exists(Paths.get(table.dir, "_snapshots", f"v$v%020d.json")))
-    val deadFiles = oldSnaps.flatMap { v =>
-      try table.files(table.snapshot(v)).map(_.path)
-      catch { case NonFatal(_) => Nil }
-    }.toSet -- liveFiles
-    val deadManifests = oldSnaps.flatMap { v =>
-      try table.snapshot(v).manifests catch { case NonFatal(_) => Nil }
-    }.toSet -- liveManifests
 
     def local(p: String) =
       if (p.startsWith("file:")) Paths.get(java.net.URI.create(p).getPath)
       else Paths.get(p)
-    // deletion order: data files, then manifests, then snapshots — a crash
-    // at any point leaves only orphans (re-collected next run), never a
-    // retained snapshot with a missing manifest
-    val filesDeleted = deadFiles.count(p => Files.deleteIfExists(local(p)))
-    deadManifests.foreach(m =>
-      Files.deleteIfExists(Paths.get(table.dir, "_manifests", m)))
-    val snapsDeleted = oldSnaps.count(v =>
-      Files.deleteIfExists(Paths.get(table.dir, "_snapshots", f"v$v%020d.json")))
-    // drop now-empty data/v* dirs (streams closed promptly: fd per dir)
-    val dataDir = Paths.get(table.dir, "data")
-    if (Files.isDirectory(dataDir)) {
-      val top = Files.list(dataDir)
-      val dirs = try top.iterator().asScala.toList finally top.close()
-      dirs.foreach { d =>
-        if (Files.isDirectory(d)) {
-          val s = Files.list(d)
-          val empty = try !s.iterator().hasNext finally s.close()
-          if (empty) Files.deleteIfExists(d)
-        }
+
+    val (filesDeleted, snapsDeleted) = if (cutoff <= 0) (0, 0) else {
+      // a retained-window version may itself be missing (an earlier vacuum ran
+      // with a smaller window); a gone snapshot references nothing, so it
+      // simply contributes no liveness
+      val retained = (cutoff to current)
+        .filter(v => Files.exists(Paths.get(table.dir, "_snapshots", f"v$v%020d.json")))
+        .map(table.snapshot)
+      val liveFiles = retained.flatMap(s => table.files(s).map(_.path)).toSet
+      val liveManifests = retained.flatMap(_.manifests.map(_.name)).toSet
+
+      // PLAN FULLY BEFORE DELETING ANYTHING: reading an old snapshot's files
+      // must never race this vacuum's own manifest deletions (a mid-loop
+      // interleave could crash on a just-deleted shared manifest and leave the
+      // table permanently un-vacuumable). Snapshots that reference manifests a
+      // PRIOR interrupted vacuum already removed are tolerated: their file
+      // lists are simply unknown, which only means some orphans survive until
+      // a later pass — never a wedge.
+      val oldSnaps = (0L until cutoff).filter(v =>
+        Files.exists(Paths.get(table.dir, "_snapshots", f"v$v%020d.json")))
+      val deadFiles = oldSnaps.flatMap { v =>
+        try table.files(table.snapshot(v)).map(_.path)
+        catch { case NonFatal(_) => Nil }
+      }.toSet -- liveFiles
+      val deadManifests = oldSnaps.flatMap { v =>
+        try table.snapshot(v).manifests.map(_.name) catch { case NonFatal(_) => Nil }
+      }.toSet -- liveManifests
+
+      // deletion order: data files, then manifests, then snapshots — a crash
+      // at any point leaves only orphans (re-collected next run), never a
+      // retained snapshot with a missing manifest
+      val fd = deadFiles.count(p => Files.deleteIfExists(local(p)))
+      deadManifests.foreach(m =>
+        Files.deleteIfExists(Paths.get(table.dir, "_manifests", m)))
+      val sd = oldSnaps.count(v =>
+        Files.deleteIfExists(Paths.get(table.dir, "_snapshots", f"v$v%020d.json")))
+      (fd, sd)
+    }
+
+    // --- orphan GC: crashed-commit litter referenced by NO snapshot --------
+    val now = System.currentTimeMillis()
+    def oldEnough(p: java.nio.file.Path): Boolean =
+      try now - Files.getLastModifiedTime(p).toMillis >= orphanMinAgeMs
+      catch { case NonFatal(_) => false } // vanished mid-scan: not ours to GC
+    def ls(p: java.nio.file.Path): List[java.nio.file.Path] =
+      if (!Files.isDirectory(p)) Nil
+      else { val s = Files.list(p); try s.iterator().asScala.toList finally s.close() }
+    // liveness re-derived from what SURVIVED this vacuum (every remaining
+    // snapshot, retained or not) — an orphan is reachable from none of them
+    val survivors = table.availableVersions.flatMap(v =>
+      try Some(table.snapshot(v)) catch { case NonFatal(_) => None })
+    val liveManifestNames = survivors.flatMap(_.manifests.map(_.name)).toSet
+    val liveDataPaths = survivors.flatMap(s =>
+      try table.files(s).map(f => local(f.path).toAbsolutePath)
+      catch { case NonFatal(_) => Nil }).toSet
+    var orphans = 0
+    ls(Paths.get(table.dir, "_manifests")).foreach { m =>
+      if (!liveManifestNames(m.getFileName.toString) && oldEnough(m) &&
+          Files.deleteIfExists(m)) orphans += 1
+    }
+    // crashed commit()s can leak .v*.json.tmp next to the snapshot log
+    ls(Paths.get(table.dir, "_snapshots")).foreach { t =>
+      if (t.getFileName.toString.endsWith(".tmp") && oldEnough(t) &&
+          Files.deleteIfExists(t)) orphans += 1
+    }
+    ls(Paths.get(table.dir, "data")).foreach { d =>
+      ls(d).foreach { f =>
+        if (Files.isRegularFile(f) && !liveDataPaths(f.toAbsolutePath) &&
+            oldEnough(f) && Files.deleteIfExists(f)) orphans += 1
       }
     }
-    (filesDeleted, snapsDeleted)
+
+    // drop now-empty data/v* dirs (streams closed promptly: fd per dir)
+    val dataDir = Paths.get(table.dir, "data")
+    ls(dataDir).foreach { d =>
+      if (Files.isDirectory(d)) {
+        val s = Files.list(d)
+        val empty = try !s.iterator().hasNext finally s.close()
+        if (empty) Files.deleteIfExists(d)
+      }
+    }
+    (filesDeleted + orphans, snapsDeleted)
   }
 
   private def writtenStats(spark: SparkSession, table: LakeTable, outDir: String,

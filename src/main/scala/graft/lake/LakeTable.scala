@@ -23,15 +23,20 @@ import org.json4s.jackson.Serialization
  * (a replayed (checkpointId, epochId) commit is a no-op) and deterministic
  * (max-LSN-wins fold), so replay reproduces the final state bit-for-bit.
  *
- * Metadata scaling (the 10^10-event story): a snapshot JSON holds O(1) state —
- * schema, manifest NAMES, and one high-watermark per checkpoint — never the
- * full file list or an epoch ledger that grows with history. A commit writes
- * one manifest with the epoch's added files, carries clean manifests over by
- * name, and rewrites only manifests that lost a file; when the manifest list
- * itself grows past a threshold it is folded into one. So per-epoch commit
- * cost is O(new files + dirty manifests), amortized O(new files), where the
- * old design re-serialized O(all files + all epochs) JSON every epoch —
- * cumulative O(epochs^2) driver time.
+ * Metadata scaling (the 10^10-event story): a snapshot JSON holds O(#manifests)
+ * state — schema, manifest REFS (name + aggregate stats + key range, ~200
+ * bytes each), and one high-watermark per checkpoint — never the full file
+ * list or an epoch ledger that grows with history. A commit writes one
+ * manifest with the epoch's added files, carries clean manifests over by ref,
+ * and rewrites only manifests that lost a file; when the manifest list grows
+ * past a threshold, SMALL manifests fold together while manifests past the
+ * seal size are never folded again (size-tiered, like Iceberg's manifest
+ * tiers — see commitChange). Ref stats let the hot path (fold triggers,
+ * totals, whole-manifest pruning) run without parsing any manifest. So
+ * per-epoch commit cost is O(new files + touched manifests), amortized
+ * O(new files), where the old design re-serialized O(all files + all epochs)
+ * JSON every epoch — cumulative O(epochs^2) driver time. At 10^6 data files a
+ * snapshot carries ~(10^6/seal + threshold) refs ≈ 70 KB.
  *
  * Epoch watermark semantics: epoch ids within one checkpoint id must be
  * applied in increasing order (Structured Streaming's contract for
@@ -64,6 +69,34 @@ final case class DataFile(
     /** merge-on-read delta: unresolved change rows, folded at read/compaction */
     delta: Boolean = false)
 
+/**
+ * Snapshot-level manifest entry: the manifest's name plus the aggregate
+ * stats the per-epoch hot paths need, so a commit can decide fold triggers,
+ * file-count/row totals and (via the key range) whole-manifest pruning
+ * WITHOUT parsing any manifest file. `minKey`/`maxKey` are in KeyCodec
+ * encoding; null = unknown (some file in the manifest has unknown bounds,
+ * so the manifest can never be skipped by range).
+ */
+final case class ManifestRef(
+    name: String,
+    files: Int,
+    rows: Long,
+    deltaFiles: Int,
+    deltaRows: Long,
+    minKey: String,
+    maxKey: String)
+
+object ManifestRef {
+  def of(name: String, files: List[DataFile]): ManifestRef = {
+    val deltas = files.filter(_.delta)
+    val known = files.forall(f => f.minKey != null && f.maxKey != null)
+    ManifestRef(name, files.size, files.map(_.rows).sum,
+      deltas.size, deltas.map(_.rows).sum,
+      if (known && files.nonEmpty) files.map(_.minKey).min(KeyCodec.ordering) else null,
+      if (known && files.nonEmpty) files.map(_.maxKey).max(KeyCodec.ordering) else null)
+  }
+}
+
 final case class Snapshot(
     version: Long,
     parentVersion: Long,
@@ -72,8 +105,9 @@ final case class Snapshot(
       * derive the key from here so manifest bounds can never be computed on
       * the wrong column */
     keyCols: List[String],
-    /** manifest file names under dir/_manifests (contents immutable) */
-    manifests: List[String],
+    /** manifest entries (files under dir/_manifests; contents immutable) with
+      * per-manifest aggregate stats + key range — see [[ManifestRef]] */
+    manifests: List[ManifestRef],
     /** exactly-once ledger: highest applied epochId per checkpointId */
     epochHwm: Map[String, Long],
     /** partial-column (sparse) upsert mode, fixed at table creation: update
@@ -103,18 +137,35 @@ object LakeTable {
     * be associative and final state would depend on when compaction ran. */
   val DelLsnCol = "_del_lsn"
   val MetaCols: Seq[String] = Seq(LsnCol, DeletedCol, CellLsnCol, DelLsnCol)
-  /** current snapshot-JSON layout (2 = keyCols/manifests/epochHwm form;
+  /** current snapshot-JSON layout (3 = manifest entries carry per-manifest
+    * stats + key range for parse-free commits and manifest-level pruning;
+    * 2 was bare manifest names — upgradable via [[stampFormatVersion]];
     * 1 was the round-1 files/epochs form, no longer readable) */
-  val FormatVersion = 2
+  val FormatVersion = 3
   private implicit val fmts: Formats = DefaultFormats
 
-  /** fold the manifest list into one once it exceeds this */
+  /** start folding small manifests together once the list exceeds this */
   private val ManifestCompactThreshold = 32
+  /** a manifest at/above this many entries is SEALED: never folded again,
+    * only rewritten if it loses a file. Folds therefore touch O(seal +
+    * threshold x epoch-adds) entries, never O(all files) — the old fold-all
+    * re-serialized every entry in the table each ~threshold epochs, which at
+    * 10^10 events / 500k-row files is 10^5+ JSON entries on the driver. */
+  private[graft] val ManifestSealEntries = 4096
 
-  /** Manifest contents are immutable => a global cache is safe; cleared
-    * wholesale if it ever grows silly (compaction orphans old entries). */
+  /** Manifest contents are immutable => a global cache is safe. Bounded LRU
+    * (access-order): compaction/vacuum orphan old entries, and a wholesale
+    * clear would make the next epoch re-parse every live manifest. */
   private val manifestCache =
-    new java.util.concurrent.ConcurrentHashMap[String, List[DataFile]]
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, List[DataFile]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, List[DataFile]]): Boolean = size() > 256
+      })
+
+  /** test instrumentation: number of manifest files parsed from disk */
+  private[graft] val manifestParses = new java.util.concurrent.atomic.AtomicLong
+  private[graft] def clearManifestCacheForTest(): Unit = manifestCache.clear()
 
   private[lake] val nonceCounter =
     new java.util.concurrent.atomic.AtomicLong(System.nanoTime() >>> 8)
@@ -156,36 +207,55 @@ object LakeTable {
   }
 
   /**
-   * In-place migrator for tables written by an unversioned build whose
-   * snapshot layout already matches v2 (keyCols/manifests/epochHwm fields
-   * present, just no formatVersion stamp): rewrites each unstamped snapshot
-   * with `formatVersion` added. Snapshots that do NOT carry the v2 marker
-   * fields are refused (a genuine pre-v2 layout cannot be stamped — json4s
-   * would read it as an empty table with a blank exactly-once ledger).
-   * Returns the number of snapshots stamped.
+   * In-place migrator for tables written by older or unversioned builds:
+   *  - v2 snapshots (manifests as bare name strings — stamped or unstamped)
+   *    are upgraded to v3 by parsing each referenced manifest and computing
+   *    its [[ManifestRef]] stats;
+   *  - unstamped snapshots already in v3 field shape are just stamped.
+   * Snapshots that carry NEITHER layout's marker fields are refused (a
+   * genuine pre-v2 layout cannot be stamped — json4s would read it as an
+   * empty table with a blank exactly-once ledger). Returns the number of
+   * snapshots rewritten.
    */
   def stampFormatVersion(dir: String): Int = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val snapDir = Paths.get(dir, "_snapshots")
+    val mDir = Paths.get(dir, "_manifests")
     require(Files.isDirectory(snapDir), s"not a lake table: $dir")
     val s = Files.list(snapDir)
     val snaps = try s.iterator().asScala.map(_.getFileName.toString)
       .filter(n => n.startsWith("v") && n.endsWith(".json")).toList
     finally s.close()
+    def refOf(name: String): ManifestRef =
+      ManifestRef.of(name, Serialization.read[List[DataFile]](
+        new String(Files.readAllBytes(mDir.resolve(name)), StandardCharsets.UTF_8))(
+        fmts, manifest[List[DataFile]]))
     snaps.count { name =>
       val p = snapDir.resolve(name)
       val raw = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
       val ast = JsonMethods.parse(raw)
-      (ast \ "formatVersion") match {
-        case JInt(_) => false // already stamped — leave it alone
-        case _ =>
-          val compatible = Seq("keyCols", "manifests", "epochHwm", "schemaJson")
-            .forall(f => (ast \ f) != JNothing)
+      val fv = ast \ "formatVersion"
+      val compatible = Seq("keyCols", "manifests", "epochHwm", "schemaJson")
+        .forall(f => (ast \ f) != JNothing)
+      (fv, ast \ "manifests") match {
+        case (JInt(v), _) if v == FormatVersion => false // current — untouched
+        case (JInt(v), _) if v != 2 => throw new IllegalStateException(
+          s"$dir/$name: formatVersion $v has no migration path to $FormatVersion")
+        case (_, mf) =>
           require(compatible,
-            s"$dir/$name: layout is genuinely pre-v$FormatVersion (missing " +
+            s"$dir/$name: layout is genuinely pre-v2 (missing " +
               "keyCols/manifests/epochHwm fields) — cannot stamp; recreate the table")
-          val stamped = ast merge JObject("formatVersion" -> JInt(FormatVersion))
+          val upgraded = mf match {
+            case JArray(items) if items.forall(_.isInstanceOf[JString]) =>
+              // v2 shape: names only -> compute refs from manifest contents
+              val refs = items.collect { case JString(n) => refOf(n) }
+              ast.transformField { case JField("manifests", _) =>
+                JField("manifests", Extraction.decompose(refs)(fmts))
+              }
+            case _ => ast // already v3-shaped, just unstamped
+          }
+          val stamped = upgraded merge JObject("formatVersion" -> JInt(FormatVersion))
           Files.write(p, JsonMethods.compact(JsonMethods.render(stamped))
             .getBytes(StandardCharsets.UTF_8))
           true
@@ -240,7 +310,10 @@ final class LakeTable(val dir: String) {
       case org.json4s.JInt(v) if v == FormatVersion => ()
       case org.json4s.JInt(v) => throw new IllegalStateException(
         s"$dir: snapshot v$version has formatVersion $v; this build reads " +
-          s"only $FormatVersion — migrate the table or use a matching build")
+          s"only $FormatVersion — " +
+          (if (v == BigInt(2)) "run LakeTable.stampFormatVersion(dir) to upgrade v2 " +
+            "snapshots in place, or use a matching build"
+          else "migrate the table or use a matching build"))
       case _ => throw new IllegalStateException(
         s"$dir: snapshot v$version carries no formatVersion — written by an " +
           s"unversioned build (the field layout may well be v$FormatVersion-" +
@@ -274,16 +347,35 @@ final class LakeTable(val dir: String) {
   /** All data files of a snapshot (reads manifests; cached — contents are
     * immutable, so repeated epochs only hit disk for NEW manifests). */
   def files(snap: Snapshot): List[DataFile] =
-    snap.manifests.flatMap(readManifest)
+    snap.manifests.flatMap(m => readManifest(m.name))
 
   def currentFiles: List[DataFile] = files(currentSnapshot)
 
+  /**
+   * Data files of only the manifests whose key range intersects the given
+   * ENCODED bound envelope — manifest-level pruning: non-intersecting
+   * manifests are not even parsed (refs with unknown bounds always read).
+   * Callers pair this with per-file pruning; the snapshot's ref stats cover
+   * totals, so skipped manifests never need listing.
+   */
+  def filesIntersecting(snap: Snapshot, keyLo: String, keyHi: String): List[DataFile] =
+    snap.manifests
+      .filter(m => m.minKey == null || m.maxKey == null ||
+        (KeyCodec.compare(m.maxKey, keyLo) >= 0 && KeyCodec.compare(m.minKey, keyHi) <= 0))
+      .flatMap(m => readManifest(m.name))
+
   private def readManifest(name: String): List[DataFile] = {
-    if (manifestCache.size > 256) manifestCache.clear()
-    manifestCache.computeIfAbsent(manifestDir.resolve(name).toString, p =>
-      Serialization.read[List[DataFile]](
+    val p = manifestDir.resolve(name).toString
+    val cached = manifestCache.get(p)
+    if (cached != null) cached
+    else {
+      LakeTable.manifestParses.incrementAndGet()
+      val parsed = Serialization.read[List[DataFile]](
         new String(Files.readAllBytes(Paths.get(p)), StandardCharsets.UTF_8))(
-        fmts, manifest[List[DataFile]]))
+        fmts, manifest[List[DataFile]])
+      manifestCache.put(p, parsed)
+      parsed
+    }
   }
 
   private def writeManifest(name: String, files: List[DataFile]): Unit = {
@@ -297,9 +389,25 @@ final class LakeTable(val dir: String) {
    * Build + atomically commit the next snapshot from a change set:
    * `removedPaths` leave the table (rewritten by CoW merge / compaction),
    * `added` enter it, `epoch` advances the exactly-once watermark.
-   * Clean manifests carry over by name; dirty ones are rewritten without
+   * Clean manifests carry over by ref; dirty ones are rewritten without
    * their removed files; added files get one new manifest. Returns the
    * committed snapshot.
+   *
+   * Commit metadata cost: a pure-append commit (MoR epochs — removedPaths
+   * empty) parses NO manifests at all; refs carry the stats. With removals,
+   * `removedBounds` (the encoded key envelope of the removed files, when the
+   * caller knows it) lets non-intersecting manifests stay unparsed — a
+   * manifest's ref range contains every member file's range, so a manifest
+   * outside the envelope cannot hold a removed path.
+   *
+   * Manifest folding is size-TIERED, never fold-all: when the list exceeds
+   * the threshold, only manifests below [[LakeTable.ManifestSealEntries]]
+   * entries fold together; a manifest that grows past the seal is never
+   * folded again (only rewritten if it loses a file). Each data-file entry
+   * is therefore re-serialized O(seal/epoch-adds) times over its life and
+   * fold work is bounded by O(seal + threshold x epoch-adds) entries —
+   * independent of table size, where fold-all re-wrote every entry in the
+   * table each ~threshold epochs.
    *
    * Optimistic concurrency with DISJOINT-writer retry: losing a version race
    * (e.g. compaction committing while ingest merges) reloads the head and
@@ -317,16 +425,24 @@ final class LakeTable(val dir: String) {
       removedPaths: Set[String],
       added: List[DataFile],
       epoch: Option[(String, Long)],
-      maxRetries: Int = 5): Snapshot = {
+      maxRetries: Int = 5,
+      removedBounds: Option[(String, String)] = None): Snapshot = {
     var cur = base
     var curSchemaJson = schemaJson
     var attempt = 0
     while (true) {
       val version = cur.version + 1
+      def mayContainRemoved(m: ManifestRef): Boolean =
+        removedBounds.isEmpty || m.minKey == null || m.maxKey == null || {
+          val (lo, hi) = removedBounds.get
+          KeyCodec.compare(m.maxKey, lo) >= 0 && KeyCodec.compare(m.minKey, hi) <= 0
+        }
       val (clean, dirty) =
         if (removedPaths.isEmpty) (cur.manifests, Nil)
-        else cur.manifests.partition(m => !readManifest(m).exists(f => removedPaths(f.path)))
-      val survivors = dirty.flatMap(readManifest).filterNot(f => removedPaths(f.path))
+        else cur.manifests.partition(m => !mayContainRemoved(m) ||
+          !readManifest(m.name).exists(f => removedPaths(f.path)))
+      val survivors = dirty.flatMap(m => readManifest(m.name))
+        .filterNot(f => removedPaths(f.path))
       // a rebase shifts the commit version; CDC-out (`readChangesBetween`)
       // selects delta files by addedAtVersion == commit version, so the
       // added entries must carry the version they actually land at
@@ -339,13 +455,20 @@ final class LakeTable(val dir: String) {
         val name = f"m$version%020d-${nonce()}.json"
         writeManifest(name, newFiles)
         written += name
-        manifests = clean :+ name
+        manifests = clean :+ ManifestRef.of(name, newFiles)
       }
       if (manifests.size > ManifestCompactThreshold) {
-        val name = f"m$version%020d-${nonce()}-c.json"
-        writeManifest(name, manifests.flatMap(readManifest))
-        written += name
-        manifests = List(name)
+        // size-tiered fold: only sub-seal manifests merge; sealed ones carry
+        // over untouched (see the method doc — fold work is O(seal), never
+        // O(table))
+        val (sealedM, small) = manifests.partition(_.files >= ManifestSealEntries)
+        if (small.size >= 2) {
+          val foldedFiles = small.flatMap(m => readManifest(m.name))
+          val name = f"m$version%020d-${nonce()}-c.json"
+          writeManifest(name, foldedFiles)
+          written += name
+          manifests = sealedM :+ ManifestRef.of(name, foldedFiles)
+        }
       }
       val hwm = epoch.fold(cur.epochHwm) { case (ck, e) =>
         cur.epochHwm.updated(ck, math.max(e, cur.epochHwm.getOrElse(ck, Long.MinValue)))
@@ -459,6 +582,13 @@ final class LakeTable(val dir: String) {
    * Defined for MoR ingest; CoW commits rewrite files that carry old rows
    * forward, so their adds are not a change stream — such versions yield
    * nothing here, by the delta flag.
+   *
+   * Retention contract: a consumer must keep up WITHIN the vacuum window.
+   * Asking for changes from a version the vacuum floor has passed raises the
+   * named "vacuumed past the retention floor" error (via `snapshot`) rather
+   * than silently returning a partial stream — the consumer must re-sync
+   * from a full snapshot at that point, exactly like a binlog client whose
+   * position aged out of the server's log retention.
    */
   def readChangesBetween(spark: SparkSession, sinceVersion: Long,
       untilVersion: Long): DataFrame = {
@@ -485,7 +615,7 @@ final class LakeTable(val dir: String) {
     // (per-column cell-lsn fold for sparse tables, max-lsn rows otherwise);
     // pure-base snapshots skip the fold (already resolved)
     val resolved =
-      if (!files(snap).exists(_.delta)) raw
+      if (!snap.manifests.exists(_.deltaFiles > 0)) raw
       else if (snap.sparse)
         graft.merge.MergeInto.resolveSparse(raw, snap.keyCols,
           snap.schema.fieldNames.toSeq.filterNot(c =>

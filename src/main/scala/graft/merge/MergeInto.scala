@@ -174,11 +174,15 @@ object MergeInto {
       opts: MergeOptions = MergeOptions()): MergeStats = {
     val t0 = System.nanoTime()
     val snap = table.currentSnapshot
+    // table totals come from snapshot manifest REFS: the per-epoch hot path
+    // never lists files (a 10^10-event table's listing is 10^5+ entries)
+    val refFileCount = snap.manifests.map(_.files).sum
+    val refRowCount = snap.manifests.map(_.rows).sum
     if (snap.epochHwm.get(ckptId).exists(_ >= epochId)) {
       // exactly-once: replayed epoch is a no-op (epoch ids per checkpoint are
       // monotone — Structured Streaming's foreachBatch contract)
       return MergeStats(ckptId, epochId, snap.version, 0, -1, -1, 0, 0, 0,
-        table.files(snap).size, 0, 0, 0, 0, 0, 0, 0, noop = true)
+        refFileCount, 0, 0, 0, 0, 0, 0, 0, noop = true)
     }
 
     // the merge key lives in table metadata; a mismatched caller would
@@ -286,17 +290,34 @@ object MergeInto {
         val next = table.commitChange(snap, snap.schemaJson, Set.empty, Nil,
           Some((ckptId, epochId)))
         return MergeStats(ckptId, epochId, next.version, 0, -1, -1, 0, 0, 0,
-          table.files(snap).size, 0, millisSince(t0), statsMs, keysMs, 0, 0, 0,
+          refFileCount, 0, millisSince(t0), statsMs, keysMs, 0, 0, 0,
           noop = false)
       }
 
-      val allFiles = table.files(snap)
       // --- file pruning against manifest key bounds (CoW reads the base;
-      // MoR touches nothing) --------------------------------------------------
-      val (touched, untouched) = opts.mode match {
-        case MergeMode.Mor => (Nil, allFiles)
-        case MergeMode.Cow => pruneFiles(allFiles, prunable, keySet, keyLo, keyHi)
+      // MoR touches nothing). Two-level: whole manifests outside the batch's
+      // key envelope are skipped WITHOUT being parsed (snapshot refs carry
+      // per-manifest ranges), then the surviving candidates prune per file.
+      val touched: List[DataFile] = opts.mode match {
+        case MergeMode.Mor => Nil
+        case MergeMode.Cow =>
+          val envelope: Option[(String, String)] = keySet match {
+            case Some(sorted) if sorted.nonEmpty => Some((sorted.head, sorted.last))
+            case Some(_) => None
+            case None if prunable && keyLo != null && keyHi != null =>
+              Some((keyLo, keyHi))
+            case None => None
+          }
+          val candidates = envelope match {
+            case Some((lo, hi)) => table.filesIntersecting(snap, lo, hi)
+            case None => table.files(snap) // no usable bounds: all candidates
+          }
+          pruneFiles(candidates, prunable, keySet, keyLo, keyHi)._1
       }
+      val touchedRows = touched.map(_.rows).sum
+      // untouched = table minus touched, by REF arithmetic (no listing)
+      val untouchedCount = refFileCount - touched.size
+      val untouchedRows = refRowCount - touchedRows
 
       val newVersion = snap.version + 1
       val outDir = table.newDataDir(newVersion)
@@ -323,7 +344,7 @@ object MergeInto {
           .map(sized)
           .getOrElse(2 * spark.sparkContext.defaultParallelism)
       } else {
-        sized(touched.map(_.rows).sum + bRows)
+        sized(touchedRows + bRows)
       }
 
       val tWrite = System.nanoTime()
@@ -421,7 +442,7 @@ object MergeInto {
         val next = table.commitChange(snap, storedSchema.json, Set.empty, Nil,
           Some((ckptId, epochId)))
         val stats = MergeStats(ckptId, epochId, next.version, 0, -1, -1,
-          untouched.map(_.rows).sum, 0, 0, untouched.size, 0,
+          untouchedRows, 0, 0, untouchedCount, 0,
           millisSince(t0), statsMs, keysMs, writeMs, 0, 0, noop = false)
         writeMetrics(spark, table, stats)
         return stats
@@ -432,34 +453,42 @@ object MergeInto {
       val newFiles = FileStats
         .fromFooters(spark, outDir, k1, k1Type, newVersion, isDelta)
         .getOrElse(FileStats.fromScan(spark, outDir, storedSchema, k1, newVersion, isDelta))
-      val outputRows = newFiles.map(_.rows).sum + untouched.map(_.rows).sum
+      val outputRows = newFiles.map(_.rows).sum + untouchedRows
       val footerMs = millisSince(tFooter)
 
+      // removed-key envelope: lets the commit skip parsing manifests that
+      // cannot contain a removed path (all touched bounds known => envelope)
+      val removedBounds =
+        if (touched.nonEmpty && touched.forall(f => f.minKey != null && f.maxKey != null))
+          Some((touched.map(_.minKey).min(KeyCodec.ordering),
+            touched.map(_.maxKey).max(KeyCodec.ordering)))
+        else None
       val tCommit = System.nanoTime()
       val committed = table.commitChange(snap, storedSchema.json,
-        touched.map(_.path).toSet, newFiles, Some((ckptId, epochId)))
+        touched.map(_.path).toSet, newFiles, Some((ckptId, epochId)),
+        removedBounds = removedBounds)
       val commitMs = millisSince(tCommit)
 
       // committed.version, not newVersion: a disjoint-writer commit retry
       // (e.g. racing compaction) may land the epoch at a later version
       val stats = MergeStats(ckptId, epochId, committed.version, bRowsFinal, bMinLsn, bMaxLsn,
-        outputRows, bDeletes, touched.size, untouched.size, newFiles.size,
+        outputRows, bDeletes, touched.size, untouchedCount, newFiles.size,
         millisSince(t0), statsMs, keysMs, writeMs, footerMs, commitMs,
         noop = false)
       writeMetrics(spark, table, stats)
 
-      // --- MoR delta maintenance: fold past the thresholds ------------------
+      // --- MoR delta maintenance: fold past the thresholds (trigger math
+      // rides the committed snapshot's manifest refs — no file listing) -----
       if (isDelta) {
-        val afterFiles = untouched ++ newFiles
-        val (deltas, base) = afterFiles.partition(_.delta)
-        val deltaRows = deltas.map(_.rows).sum
-        val baseRows = base.map(_.rows).sum
+        val deltaFiles = committed.manifests.map(_.deltaFiles).sum
+        val deltaRows = committed.manifests.map(_.deltaRows).sum
+        val baseRows = committed.manifests.map(_.rows).sum - deltaRows
         // ratio trigger only once a base EXISTS: with an empty base a "fold"
         // is a pure relabel (deltas -> base, same file count, no read-amp
         // gain) that rewrites every ingested row — measured as the single
         // largest cost of a from-empty ingest window. Until the first real
         // fold, the file-count trigger bounds read fan-in on its own.
-        if (deltas.size > opts.morCompactMaxDeltaFiles ||
+        if (deltaFiles > opts.morCompactMaxDeltaFiles ||
             (baseRows > 0 && deltaRows > baseRows * opts.morCompactDeltaRatio))
           Compaction.foldDeltas(spark, table, opts.targetRowsPerFile, opts.minRowsPerFile)
       }

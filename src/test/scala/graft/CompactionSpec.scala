@@ -86,4 +86,61 @@ class CompactionSpec extends AnyFunSuite {
     val st = MergeInto.merge(spark, table, extra, "cmp", 99L)
     assert(!st.noop && st.batchRows > 0)
   }
+
+  test("vacuum collects crashed-commit orphans; young in-flight files survive") {
+    import java.nio.file.{Files, Paths}
+    import java.sql.Timestamp
+    import spark.implicits._
+    val work = TestSpark.tmpDir("orphan-gc")
+    val table = LakeTable.create(s"$work/t", Schemas.turn)
+    MergeInto.merge(spark, table,
+      Seq(("I", 1L, "c1", 0, "user", "hello", None: Option[String],
+        Timestamp.valueOf("2025-01-01 00:00:00")))
+        .toDF("op", "lsn", "conv_id", "turn_idx", "role", "text", "tool", "ts"),
+      "gc", 0L, MergeOptions(mode = graft.merge.MergeMode.Mor))
+    val stateBefore = table.read(spark).collect().map(_.toSeq).toSet
+    val ledgerBefore = table.currentSnapshot.epochHwm
+    val liveFilesBefore = table.currentFiles.map(_.path).toSet
+
+    // plant a CRASHED commit attempt: staged data + written manifest +
+    // snapshot tmp, but no snapshot link (the writer died before commit())
+    val staging = Paths.get(table.newDataDir(99L))
+    Files.createDirectories(staging)
+    Files.write(staging.resolve("part-00000-dead.parquet"), Array[Byte](1, 2, 3))
+    val orphanManifest = Paths.get(s"$work/t/_manifests/m99-deadbeef.json")
+    Files.write(orphanManifest, "[]".getBytes("UTF-8"))
+    val orphanTmp = Paths.get(s"$work/t/_snapshots/.v99-deadbeef.json.tmp")
+    Files.write(orphanTmp, "{}".getBytes("UTF-8"))
+
+    // a YOUNG orphan (in-flight writer) must survive the default age floor
+    val (del1, _) = Compaction.vacuum(table, retainVersions = 100)
+    assert(del1 == 0, s"young orphans must be spared, deleted $del1")
+    assert(Files.exists(orphanManifest) && Files.exists(orphanTmp))
+
+    // aged past the floor -> collected (age floor 0 simulates elapsed time)
+    val (del2, snaps2) = Compaction.vacuum(table, retainVersions = 100,
+      orphanMinAgeMs = 0L)
+    assert(snaps2 == 0, "no snapshots should be retired")
+    // >= 3: the planted trio, plus any _SUCCESS markers (unreferenced by
+    // manifests, so legitimately swept)
+    assert(del2 >= 3, s"expected >=3 orphans collected, got $del2")
+    assert(!Files.exists(orphanManifest) && !Files.exists(orphanTmp))
+    assert(!Files.exists(staging), "empty staging dir should be dropped")
+
+    // table state, live files and the exactly-once ledger are untouched
+    assert(table.read(spark).collect().map(_.toSeq).toSet == stateBefore)
+    assert(table.currentSnapshot.epochHwm == ledgerBefore)
+    assert(table.currentFiles.map(_.path).toSet == liveFilesBefore)
+    table.currentFiles.foreach { f =>
+      val p = if (f.path.startsWith("file:"))
+        Paths.get(java.net.URI.create(f.path).getPath) else Paths.get(f.path)
+      assert(Files.exists(p), s"live file deleted: ${f.path}")
+    }
+    // replay still no-ops (ledger intact)
+    assert(MergeInto.merge(spark, table,
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType(Seq())).limit(0)
+        .select(), "gc", 0L, MergeOptions(mode = graft.merge.MergeMode.Mor))
+      .noop)
+  }
 }

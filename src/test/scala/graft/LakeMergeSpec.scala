@@ -253,6 +253,21 @@ class LakeMergeSpec extends AnyFunSuite {
     assert(table.readChangesBetween(spark, vBefore, table.currentVersion).count() == 0)
     // the full change stream since v0 still reads through folded-away files
     assert(table.readChangesSince(spark, -1L).count() == 4)
+
+    // retention contract: once vacuum passes a consumer's position, asking
+    // for those changes raises the NAMED retention error — never a silent
+    // partial stream (the consumer must re-sync from a snapshot, like a
+    // binlog client whose offset aged out of server log retention)
+    graft.lake.Compaction.vacuum(table, retainVersions = 2, orphanMinAgeMs = 0L)
+    val floor = table.availableVersions.min
+    assert(floor > v1 + 1, "vacuum should have passed the consumed position")
+    val ex = intercept[IllegalStateException](
+      table.readChangesBetween(spark, v1, table.currentVersion))
+    assert(ex.getMessage.contains("vacuumed past the retention floor"),
+      ex.getMessage)
+    // within the window the stream still serves
+    assert(table.readChangesBetween(spark, floor - 1,
+      table.currentVersion).count() >= 0)
   }
 
   test("snapshot metadata stays O(1) across 100 epochs") {
@@ -276,7 +291,9 @@ class LakeMergeSpec extends AnyFunSuite {
     val late = (70L to 100L).map(snapBytes).max
     assert(late <= early * 1.2,
       s"snapshot envelope grew with epoch count: early=$early late=$late")
-    assert(late < 4096, s"snapshot bigger than O(1) budget: $late")
+    // budget: <= threshold(32) manifest REFS (~200 bytes each: name +
+    // stats + key range) + schema + ledger — stationary, not file-count-bound
+    assert(late < 16384, s"snapshot bigger than its stationary budget: $late")
     // and the table still reads correctly through its manifests
     assert(table.read(spark).count() == 100)
   }
@@ -586,6 +603,52 @@ class LakeMergeSpec extends AnyFunSuite {
     assert(table.read(spark).count() == 1) // readable again, ledger intact
     assert(table.hasEpoch("ck", 0L))
     assert(LakeTable.stampFormatVersion(s"$dir/t") == 0) // idempotent
+  }
+
+  test("cross-JVM commit race: a second process commits during an ingest loop") {
+    // The thread-race spec proves commitChange's rebase logic; THIS proves the
+    // hard-link test-and-set across real process boundaries (two JVMs, two
+    // page caches, one filesystem) — the actual deployment shape for
+    // compaction racing ingest. Every commit from both processes must land at
+    // a unique version with the ledger exact, or conflict loudly.
+    val dir = TestSpark.tmpDir("xjvm")
+    val table = LakeTable.create(s"$dir/t", Schemas.turn)
+    val mor = MergeOptions(mode = MergeMode.Mor,
+      morCompactDeltaRatio = 1e9, morCompactMaxDeltaFiles = Int.MaxValue)
+    def batch(e: Int) =
+      (0 until 500).map(i => ("I", e * 500L + i, s"c${i % 50}", i, "user",
+        s"t$e-$i", None: Option[String], Timestamp.valueOf("2025-01-01 00:00:00")))
+        .toDF("op", "lsn", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val childCommits = 80
+    val javaBin = s"${sys.props("java.home")}/bin/java"
+    val proc = new ProcessBuilder(javaBin, "-cp", sys.props("java.class.path"),
+      "graft.CommitRaceChild", s"$dir/t", "child-ck", childCommits.toString, "20")
+      .redirectErrorStream(true).start()
+    try {
+      val parentEpochs = 8
+      (0 until parentEpochs).foreach { e =>
+        MergeInto.merge(spark, table, batch(e), "parent-ck", e.toLong, mor)
+      }
+      val out = scala.io.Source.fromInputStream(proc.getInputStream).mkString
+      val rc = proc.waitFor()
+      assert(rc == 0 && out.contains("CHILD_DONE"),
+        s"child writer failed (rc=$rc):\n${out.takeRight(2000)}")
+      val snap = table.currentSnapshot
+      // ledger exact for BOTH writers
+      assert(snap.epochHwm("child-ck") == childCommits - 1L)
+      assert(snap.epochHwm("parent-ck") == parentEpochs - 1L)
+      // every commit landed at its own version: create + parent + child, no
+      // lost updates (a silent rename-overwrite would collapse versions)
+      assert(snap.version == parentEpochs + childCommits.toLong,
+        s"version ${snap.version} != ${parentEpochs + childCommits} commits")
+      // parent data fully present (latest lsn per key wins): 500 distinct
+      // (conv, turn) keys, re-upserted by every epoch -> last epoch's text
+      val got = table.read(spark).collect()
+        .map(r => (r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx")) ->
+          r.getAs[String]("text")).toMap
+      assert(got.size == 500, s"expected 500 live keys, got ${got.size}")
+      assert(got(("c0", 0)) == s"t${parentEpochs - 1}-0", got(("c0", 0)))
+    } finally proc.destroyForcibly()
   }
 
   test("schema merge rejects type conflicts, appends new nullable columns") {
