@@ -105,6 +105,17 @@ final case class MergeOptions(
       * and worse on wider clusters. 1024 files = tens of epochs of fan-in,
       * with the row-ratio trigger remaining the primary policy. */
     morCompactMaxDeltaFiles: Int = 1024,
+    /** Sparse tables only: plan shape for partial-column resolution.
+      *  - [[ResolveStrategy.SortDedup]] (default): clustered-window fold
+      *    ([[MergeInto.resolveSparse]]) — one exchange that doubles as the
+      *    write placement; per-key groups buffer in the window operator.
+      *  - [[ResolveStrategy.Agg]]: one hash aggregate
+      *    ([[MergeInto.resolveSparseAgg]], ObjectHashAggregate with map-side
+      *    partial combine) — collapses high-duplication/hot-key batches
+      *    BEFORE the shuffle; delta file count follows the aggregate's
+      *    shuffle partitioning. Applies to MoR epochs (read-time folds and
+      *    compaction keep the window form's range placement). */
+    sparseResolve: ResolveStrategy = ResolveStrategy.SortDedup,
     /** MoR: resolve the batch within itself before writing delta files
       * (default). With `false` the epoch writes the normalized batch AS
       * SCANNED — no shuffle, no sort: a pure map job (scan -> project ->
@@ -358,9 +369,14 @@ object MergeInto {
       val toWrite = opts.mode match {
         case MergeMode.Mor if snap.sparse =>
           // within-batch sparse collapse: exact because cell lsns preserve
-          // per-column provenance (see resolveSparse)
-          resolveSparse(obsNorm.repartition(nOut, keyCols.map(col): _*),
-            keyCols, nonKeyPayload)
+          // per-column provenance (see resolveSparse / resolveSparseAgg)
+          opts.sparseResolve match {
+            case ResolveStrategy.Agg =>
+              resolveSparseAgg(obsNorm, keyCols, nonKeyPayload)
+            case ResolveStrategy.SortDedup =>
+              resolveSparse(obsNorm.repartition(nOut, keyCols.map(col): _*),
+                keyCols, nonKeyPayload)
+          }
         case MergeMode.Mor if !opts.morResolveWithinBatch =>
           // shuffle-free epoch: the normalized batch goes straight to delta
           // files in scan order (see MergeOptions.morResolveWithinBatch)
@@ -596,6 +612,63 @@ object MergeInto {
         case c => col(c)
       }
     folded.select(outCols: _*)
+  }
+
+  /**
+   * Aggregate-form sparse resolution — same fold semantics as
+   * [[resolveSparse]] (per-column max-cell-lsn after the delete watermark,
+   * watermark persisted), different plan shape: ONE hash aggregate
+   * (ObjectHashAggregate via the native `max_row_by_long`, map-side partial
+   * combine) instead of clustered windows. The window form buffers each key
+   * group in memory before emitting; under heavy per-key duplication (hot
+   * conv_ids updated many times within one batch) the aggregate collapses
+   * duplicates map-side BEFORE the shuffle, bounding both shuffle volume and
+   * per-key memory. Selectable via [[MergeOptions.sparseResolve]].
+   *
+   * Per column the aggregate takes the arg-max value by UNMASKED cell lsn
+   * plus the max cell lsn, then masks at projection time: if the column's
+   * max cell lsn is <= the key's delete watermark every older cell is too,
+   * and if it is above, the unmasked winner IS the masked winner — so
+   * post-masking is exact. null ordinals (events that didn't set the column)
+   * are ignored by the aggregate, like nulls in `max_by`.
+   */
+  def resolveSparseAgg(rows0: DataFrame, keyCols: Seq[String],
+      payloadCols: Seq[String]): DataFrame = {
+    val rows =
+      if (rows0.columns.contains(LakeTable.DelLsnCol)) rows0
+      else rows0.withColumn(LakeTable.DelLsnCol, lit(null).cast(LongType))
+    graft.functions.GraftFunctions.register(rows.sparkSession)
+    def amax(v: Column, o: Column): Column =
+      call_function(graft.functions.GraftFunctions.MaxRowByLongName, v, o)
+    def cellOf(c: String) = element_at(col(LakeTable.CellLsnCol), lit(c))
+    def bt(c: String) = s"`$c`"
+    val aggs: Seq[Column] =
+      payloadCols.flatMap(c => Seq(
+        amax(struct(col(c).as("v")), cellOf(c)).as(s"_av_$c"),
+        max(cellOf(c)).as(s"_al_$c"))) ++ Seq(
+        max(greatest(
+          when(coalesce(col(DeletedCol), lit(false)), col(LsnCol)),
+          col(LakeTable.DelLsnCol))).as("_wm"),
+        amax(struct(col(LsnCol).as("l"), col(DeletedCol).as("d")), col(LsnCol))
+          .as("_meta"))
+    val g = rows.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    def wm = coalesce(col("_wm"), lit(Long.MinValue))
+    def maskedLsn(c: String) = when(col(s"_al_$c") > wm, col(s"_al_$c"))
+    val cellMap = map_filter(
+      map_from_arrays(
+        array(payloadCols.map(lit): _*),
+        array(payloadCols.map(maskedLsn): _*)),
+      (_, v) => v.isNotNull)
+    val outCols = rows.columns.toSeq.map {
+      case c if payloadCols.contains(c) =>
+        when(maskedLsn(c).isNotNull, col(s"_av_$c").getField("v")).as(c)
+      case c if c == LsnCol => col("_meta").getField("l").as(c)
+      case c if c == DeletedCol => col("_meta").getField("d").as(c)
+      case c if c == LakeTable.CellLsnCol => cellMap.as(c)
+      case c if c == LakeTable.DelLsnCol => col("_wm").as(c)
+      case c => col(c) // key columns: grouping output
+    }
+    g.select(outCols: _*)
   }
 
   /** The shared in-partition dedup pipeline: both exchanges above satisfy

@@ -62,7 +62,9 @@ object EngineQueries {
    * verify the closed-form final state — including that columns NOT carried
    * by an update survive from the incumbent row.
    */
-  def mergeSparse(s: SparkSession, dir: String): DataFrame = {
+  def mergeSparse(s: SparkSession, dir: String,
+      sparseResolve: graft.merge.ResolveStrategy =
+        graft.merge.ResolveStrategy.SortDedup): DataFrame = {
     import org.apache.spark.sql.types._
     import graft.merge.MergeOptions
     val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -74,7 +76,7 @@ object EngineQueries {
     val table = LakeTable.create(s"$work/t", payload, keyCols = Seq("doc_id"),
       sparseUpdates = true)
     val opts = MergeOptions(keyCols = Seq("doc_id"),
-      mode = graft.merge.MergeMode.Mor)
+      mode = graft.merge.MergeMode.Mor, sparseResolve = sparseResolve)
     def nul = lit(null).cast(StringType)
     val ins = docs.select(lit("I").as("op"), (col("doc_id") * 4).as("lsn"),
       col("doc_id"), col("lang"), col("source"), col("text"))
@@ -99,13 +101,23 @@ object EngineQueries {
     "q_cdc_stream_e2e" -> ((s, dir) =>
       cdcStreamE2E(s, paramsFor(dir).copy(nEvents = 20000L, eventsPerFile = 2500L,
         maxLateEvents = 500))),
-    "q_merge_sparse" -> ((s, dir) => mergeSparse(s, dir)))
+    "q_merge_sparse" -> ((s, dir) => mergeSparse(s, dir)),
+    // same changelog through the aggregate-form epoch collapse (hot-key /
+    // high-duplication plan shape) — must hit the identical closed form
+    "q_merge_sparse_agg" -> ((s, dir) =>
+      mergeSparse(s, dir, graft.merge.ResolveStrategy.Agg)))
 
   val oracles: Map[String, String] = Map(
     // closed-form final state of the sparse changelog: lang touched by the
     // %3 update, text by the %5 update (other columns must SURVIVE each
     // sparse update), %7 keys deleted last
     "q_merge_sparse" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'xx' ELSE lang END AS lang,
+           source,
+           CASE WHEN doc_id % 5 = 0 THEN 'v2:' || text ELSE text END AS text
+         FROM documents WHERE doc_id % 7 <> 0""",
+    "q_merge_sparse_agg" ->
       """SELECT doc_id,
            CASE WHEN doc_id % 3 = 0 THEN 'xx' ELSE lang END AS lang,
            source,

@@ -416,10 +416,13 @@ class LakeMergeSpec extends AnyFunSuite {
   }
 
   test("sparse upserts: partial-column updates coalesce from the incumbent row") {
-    for (mode <- Seq(MergeMode.Mor, MergeMode.Cow)) {
-      val dir = TestSpark.tmpDir(s"lake-sparse-$mode")
+    for ((mode, sres) <- Seq(
+        (MergeMode.Mor, ResolveStrategy.SortDedup),
+        (MergeMode.Mor, ResolveStrategy.Agg), // aggregate-form epoch collapse
+        (MergeMode.Cow, ResolveStrategy.SortDedup))) {
+      val dir = TestSpark.tmpDir(s"lake-sparse-$mode-$sres")
       val table = LakeTable.create(s"$dir/t", Schemas.turn, sparseUpdates = true)
-      val opts = MergeOptions(mode = mode,
+      val opts = MergeOptions(mode = mode, sparseResolve = sres,
         morCompactDeltaRatio = 1e9, morCompactMaxDeltaFiles = Int.MaxValue)
       def batch(rows: Seq[(String, Long, String, Int, String, String, Option[String])]) =
         rows.map { case (op, lsn, c, t, role, tx, tool) =>
@@ -542,6 +545,50 @@ class LakeMergeSpec extends AnyFunSuite {
       assert(role == null,
         s"[$c] late pre-delete update resurrected a dead cell: role=$role")
     }
+  }
+
+  test("sparse resolution: window and aggregate forms fold identically") {
+    // ~3000 random sparse events (partial-column updates + deletes) over 200
+    // keys: both plan shapes must emit identical resolved rows — values,
+    // cell lsns, delete watermark and row meta — and the aggregate form must
+    // stay associative across a two-stage fold.
+    val rnd = new scala.util.Random(42)
+    val cols = Seq("role", "text", "tool")
+    val raw = (1 to 3000).map { lsn =>
+      val k = rnd.nextInt(200)
+      val del = rnd.nextInt(12) == 0
+      def maybe(v: String) = if (!del && rnd.nextBoolean()) v else null
+      (s"c$k", k % 7, maybe(s"r$lsn"), maybe(s"x$lsn"), maybe(s"t$lsn"),
+        lsn.toLong, del)
+    }.toDF("conv_id", "turn_idx", "role", "text", "tool", "_lsn", "_deleted")
+    val df = raw
+      .withColumn("_cell_lsn", map_filter(
+        map_from_arrays(array(cols.map(lit): _*),
+          array(cols.map(c =>
+            when(!col("_deleted") && col(c).isNotNull, col("_lsn"))): _*)),
+        (_, v) => v.isNotNull))
+      .withColumn("_del_lsn", lit(null).cast("long"))
+    val keys = Seq("conv_id", "turn_idx")
+    def norm(d: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      d.collect().map { r =>
+        r.toSeq.map {
+          case m: scala.collection.Map[_, _] => m.toSeq.map(_.toString).sorted
+          case v => v
+        }
+      }.toSet
+    val win = norm(MergeInto.resolveSparse(
+      df.repartition(8, col("conv_id"), col("turn_idx")), keys, cols))
+    val agg = norm(MergeInto.resolveSparseAgg(df, keys, cols))
+    assert(agg == win, {
+      val onlyW = win -- agg
+      val onlyA = agg -- win
+      s"forms diverge: window-only=${onlyW.take(2)}, agg-only=${onlyA.take(2)}"
+    })
+    // associativity: fold a prefix, union the rest raw, fold again
+    val pre = MergeInto.resolveSparseAgg(df.filter(col("_lsn") <= 1500), keys, cols)
+    val staged = norm(MergeInto.resolveSparseAgg(
+      pre.unionByName(df.filter(col("_lsn") > 1500)), keys, cols))
+    assert(staged == agg, "aggregate fold is not associative")
   }
 
   test("empty MoR epoch: ledger-only commit, sizing estimator unpoisoned") {

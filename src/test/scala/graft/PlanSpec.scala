@@ -100,6 +100,26 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 shuffle in sparse resolve, saw $exchanges:\n$p")
   }
 
+  test("sparse AGG resolution: one ObjectHashAggregate shuffle, no sort, no window") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id").cast("string").as("conv_id"),
+        (col("event_id") % 5).cast("int").as("turn_idx"),
+        col("event_id").as("_lsn"), lit(false).as("_deleted"),
+        col("value"), col("event_type"),
+        map_from_arrays(array(lit("value"), lit("event_type")),
+          array(col("event_id"), col("event_id"))).as("_cell_lsn"),
+        lit(null).cast("long").as("_del_lsn"))
+    val p = plan(MergeInto.resolveSparseAgg(df,
+      Seq("conv_id", "turn_idx"), Seq("value", "event_type")))
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 shuffle in sparse agg resolve, saw $exchanges:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"native arg-max should run in ObjectHashAggregate:\n$p")
+    assert(!p.contains("SortAggregate"), s"SortAggregate fallback:\n$p")
+    assert(!p.contains("Window"), s"agg form must not plan windows:\n$p")
+  }
+
   test("sort-dedup resolution: one exchange, one sort, rank-limit pushdown") {
     import org.apache.spark.sql.functions._
     // real (non-literal) key columns: a folded literal key would drop out of
