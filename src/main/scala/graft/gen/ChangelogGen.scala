@@ -168,6 +168,12 @@ object ChangelogGen {
       .sortWithinPartitions($"wal_file", $"lsn")
       .drop("tool_meta")
       .write.mode(SaveMode.Overwrite)
+      // WAL segment encoding = the CDC receiver's landing-format choice:
+      // lz4/no-dict decodes sequentially and scales with cores where
+      // snappy+dictionary is latency-bound at wide widths (measured — see
+      // MergeOptions.parquetCodec)
+      .option("compression", "lz4")
+      .option("parquet.enable.dictionary", "false")
       .partitionBy("wal_file").parquet(s"$walDir/era=0")
     stampModTimes(s"$walDir/era=0")
   }
@@ -182,6 +188,8 @@ object ChangelogGen {
         .repartition(p.nFiles - p.evolveFile, $"wal_file")
         .sortWithinPartitions($"wal_file", $"lsn")
         .write.mode(SaveMode.Overwrite)
+        .option("compression", "lz4")
+        .option("parquet.enable.dictionary", "false")
         .partitionBy("wal_file").parquet(s"$walDir/era=1")
       stampModTimes(s"$walDir/era=1")
     }

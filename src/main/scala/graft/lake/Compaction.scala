@@ -31,6 +31,12 @@ final case class CompactionStats(
 
 object Compaction {
 
+  /** Write encoding for maintenance rewrites — matches the merge default
+    * (lz4, no dictionary): measured decode-at-width rationale at
+    * [[graft.merge.MergeOptions.parquetCodec]]. */
+  val WriteCodec = "lz4"
+  val WriteDictionary = false
+
   /**
    * Rewrite all files smaller than `smallFileRows` (plus nothing else) into
    * target-sized files. Files already at/above the threshold are carried over
@@ -59,7 +65,10 @@ object Compaction {
     spark.read.schema(schema).parquet(small.map(_.path): _*)
       .repartitionByRange(nOut, keyCols.map(col): _*)
       .sortWithinPartitions((keyCols.map(col) :+ col(LakeTable.LsnCol)): _*)
-      .write.mode("overwrite").parquet(outDir)
+      .write.mode("overwrite")
+      .option("compression", Compaction.WriteCodec)
+      .option("parquet.enable.dictionary", Compaction.WriteDictionary.toString)
+      .parquet(outDir)
 
     val newFiles = writtenStats(spark, table, outDir, newVersion, delta = false)
     table.commitChange(snap, snap.schemaJson, small.map(_.path).toSet, newFiles, None)
@@ -111,7 +120,10 @@ object Compaction {
         graft.merge.MergeInto.resolveSortDedup(raw, snap.keyCols, nOut)
       else
         graft.merge.MergeInto.resolveHashDedup(raw, snap.keyCols, nOut)
-    folded.write.mode("overwrite").parquet(outDir)
+    folded.write.mode("overwrite")
+      .option("compression", Compaction.WriteCodec)
+      .option("parquet.enable.dictionary", Compaction.WriteDictionary.toString)
+      .parquet(outDir)
 
     val newFiles = writtenStats(spark, table, outDir, newVersion, delta = false)
     table.commitChange(snap, snap.schemaJson, all.map(_.path).toSet, newFiles, None)
