@@ -276,7 +276,10 @@ object Bench {
       // selecting the pair maximizing eh/el would systematically pick
       // windows where noise happened to hit only the lo run. Calibration
       // probes are likewise best-of (fastest) per width.
-      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
+      // 6 reps by default: the 16M-row epochs cut per-rep wall-clock ~35%,
+      // so an extra best-of sample costs less than r3's 5-rep run while
+      // narrowing the host-noise tail on the wide width
+      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "6").toInt
       val runs = (1 to reps).map { i =>
         val lo = ingestOnce(coresLo, s"$work/wal", s"$work/walwarm", work, p, i)
         val hi = ingestOnce(cpus, s"$work/wal", s"$work/walwarm", work, p, i)
