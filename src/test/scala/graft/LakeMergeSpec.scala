@@ -652,6 +652,51 @@ class LakeMergeSpec extends AnyFunSuite {
     assert(LakeTable.stampFormatVersion(s"$dir/t") == 0) // idempotent
   }
 
+  test("sparse upserts survive schema evolution: added column folds per cell") {
+    // A sparse table gains a column mid-stream (the reference's dynamic
+    // column union) — cell-lsn provenance must extend to the new column:
+    // rows folded BEFORE the column existed read it (and its cell lsn) as
+    // null, later partial updates set only it, and the delete watermark
+    // still masks pre-delete cells of the widened schema.
+    val dir = TestSpark.tmpDir("lake-sparse-evo")
+    val table = LakeTable.create(s"$dir/t", Schemas.turn, sparseUpdates = true)
+    val mor = MergeOptions(mode = MergeMode.Mor,
+      morCompactDeltaRatio = 1e9, morCompactMaxDeltaFiles = Int.MaxValue)
+    def v1(op: String, lsn: Long, role: String, tx: String) =
+      Seq((op, lsn, "c1", 0, role, tx, None: Option[String],
+        Timestamp.valueOf("2025-01-01 00:00:00")))
+        .toDF("op", "lsn", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    def v2(op: String, lsn: Long, tx: String, meta: String) =
+      Seq((op, lsn, "c1", 0, null: String, tx, None: Option[String],
+        Timestamp.valueOf("2025-01-01 00:00:00"), meta))
+        .toDF("op", "lsn", "conv_id", "turn_idx", "role", "text", "tool", "ts",
+          "tool_meta")
+    MergeInto.merge(spark, table, v1("I", 1L, "user", "orig"), "ck", 0L, mor)
+    graft.lake.Compaction.foldDeltas(spark, table) // fold BEFORE the column exists
+    // widened batch: sets ONLY the new column (text null = unchanged)
+    MergeInto.merge(spark, table, v2("U", 5L, null, "m5"), "ck", 1L, mor)
+    val r1 = table.read(spark).collect()
+    assert(r1.length == 1)
+    assert(r1(0).getAs[String]("tool_meta") == "m5")
+    assert(r1(0).getAs[String]("text") == "orig", "old cells must survive widening")
+    assert(r1(0).getAs[String]("role") == "user")
+    // late lower-lsn update to the NEW column loses per cell
+    MergeInto.merge(spark, table, v2("U", 3L, "stale", "m3"), "ck", 2L, mor)
+    val r2 = table.read(spark).collect()(0)
+    assert(r2.getAs[String]("tool_meta") == "m5", s"new-column cell lsn ignored: $r2")
+    assert(r2.getAs[String]("text") == "stale", "text@3 beats text@1")
+    // delete + re-insert: the watermark masks pre-delete cells of BOTH
+    // schema generations, through a fold
+    MergeInto.merge(spark, table, v1("D", 7L, null, null), "ck", 3L, mor)
+    MergeInto.merge(spark, table, v2("I", 8L, "fresh", null), "ck", 4L, mor)
+    graft.lake.Compaction.foldDeltas(spark, table)
+    val r3 = table.read(spark).collect()(0)
+    assert(r3.getAs[String]("text") == "fresh")
+    assert(r3.getAs[String]("tool_meta") == null,
+      s"pre-delete new-column cell resurrected: $r3")
+    assert(r3.getAs[String]("role") == null)
+  }
+
   test("cross-JVM commit race: a second process commits during an ingest loop") {
     // The thread-race spec proves commitChange's rebase logic; THIS proves the
     // hard-link test-and-set across real process boundaries (two JVMs, two
