@@ -281,11 +281,38 @@ final class LakeTable(val dir: String) {
   private def versionOf(name: String): Long =
     name.stripPrefix("v").stripSuffix(".json").toLong
 
+  private def snapPath(v: Long) = snapDir.resolve(f"v$v%020d.json")
+
+  /** last head version this instance observed — commits are dense, so head
+    * discovery probes FORWARD from here (O(new commits)) instead of listing
+    * the whole snapshot log (O(all epochs) per epoch: at 10^6 committed
+    * epochs a directory listing per merge is the same scaling class as the
+    * fold-all manifest bug). -1 = cold, fall back to one full listing. */
+  private val versionHint = new java.util.concurrent.atomic.AtomicLong(-1L)
+  /** test instrumentation: number of full snapshot-log listings */
+  private[graft] val snapshotListScans = new java.util.concurrent.atomic.AtomicLong
+
   def currentVersion: Long = {
+    val hinted = versionHint.get()
+    if (hinted >= 0) {
+      var v = hinted
+      while (Files.exists(snapPath(v + 1))) v += 1
+      // the hint itself may have been vacuumed while versions above it were
+      // too (probe would stall below the retention floor) — verify before
+      // trusting; an existing probed head is authoritative because versions
+      // are dense and vacuum never removes the current snapshot
+      if (Files.exists(snapPath(v))) {
+        versionHint.updateAndGet(m => math.max(m, v))
+        return v
+      }
+    }
+    snapshotListScans.incrementAndGet()
     val vs = Files.list(snapDir).iterator().asScala
       .map(_.getFileName.toString).filter(n => n.startsWith("v") && n.endsWith(".json"))
       .map(versionOf).toSeq
-    if (vs.isEmpty) -1L else vs.max
+    val max = if (vs.isEmpty) -1L else vs.max
+    versionHint.updateAndGet(m => math.max(m, max))
+    max
   }
 
   def snapshot(version: Long): Snapshot = {
@@ -533,8 +560,10 @@ final class LakeTable(val dir: String) {
     val target = snapDir.resolve(f"v${s.version}%020d.json")
     val tmp = snapDir.resolve(f".v${s.version}%020d-${nonce()}.json.tmp")
     Files.write(tmp, Serialization.write(s)(fmts).getBytes(StandardCharsets.UTF_8))
-    try Files.createLink(target, tmp)
-    catch {
+    try {
+      Files.createLink(target, tmp)
+      versionHint.updateAndGet(m => math.max(m, s.version))
+    } catch {
       case e: java.nio.file.FileAlreadyExistsException =>
         throw new IllegalStateException(
           s"concurrent commit detected at version ${s.version}", e)

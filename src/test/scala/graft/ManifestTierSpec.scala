@@ -113,6 +113,42 @@ class ManifestTierSpec extends AnyFunSuite {
     assert(got.epochHwm == want.epochHwm && got.keyCols == want.keyCols)
   }
 
+  test("head discovery probes forward: no snapshot-log listing per commit") {
+    val dir = TestSpark.tmpDir("mhead")
+    val table = LakeTable.create(s"$dir/t", schema, keyCols = Seq("conv_id"))
+    // an instance whose hint will be far BELOW the vacuum floor later
+    val stale = LakeTable.load(s"$dir/t")
+    assert(stale.currentVersion == 0L) // hint primed at v0
+    table.currentVersion // may pay the one cold listing
+    val scans0 = table.snapshotListScans.get()
+    (0 until 50).foreach { i =>
+      val snap = table.currentSnapshot
+      table.commitChange(snap, snap.schemaJson, Set.empty,
+        mkFiles(s"$dir/t", snap.version + 1, i * 5, 5), None)
+    }
+    assert(table.snapshotListScans.get() == scans0,
+      "steady-state commits must not list the snapshot log")
+    assert(table.currentVersion == 50L)
+    // vacuum below the hint, then a FRESH instance (cold hint) must still
+    // find the head — and a stale-hinted instance must recover via fallback
+    graft.lake.Compaction.vacuum(table, retainVersions = 2, orphanMinAgeMs = 0L)
+    assert(table.currentVersion == 50L)
+    val fresh = LakeTable.load(s"$dir/t")
+    assert(fresh.currentVersion == 50L)
+    // the stale instance's hint (v0) AND the versions above it up to the
+    // floor are gone — the forward probe must detect the hole and fall back
+    // to a listing rather than return a vacuumed version
+    assert(stale.currentVersion == 50L,
+      "stale-hinted instance returned a vacuumed head")
+    // cross-instance visibility: a commit by the fresh instance is seen by
+    // the original via forward probe, no listing
+    val scans1 = table.snapshotListScans.get()
+    val s = fresh.currentSnapshot
+    fresh.commitChange(s, s.schemaJson, Set.empty, Nil, Some(("hd", 1L)))
+    assert(table.currentVersion == 51L)
+    assert(table.snapshotListScans.get() == scans1)
+  }
+
   test("manifest-level pruning: non-intersecting manifests are never parsed") {
     val dir = TestSpark.tmpDir("mprune")
     val table = LakeTable.create(s"$dir/t", schema, keyCols = Seq("conv_id"))
