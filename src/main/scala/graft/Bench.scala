@@ -226,22 +226,26 @@ object Bench {
 
     // --- part 1: operator query timings at full parallelism ----------------
     var spark = session(cpus, None)
-    // Warmup: absorb session startup + first-plan codegen so the
-    // alphabetically-first timed query doesn't carry ~5s of fixed cost.
-    try SparkEntry.entry(spark).count()
-    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
-    // Pin the shared shingle-cache build into warmup: the alphabetically
-    // first similarity query (q_minhash_pairs) otherwise pays the one-time
-    // cache construction inside its timing while later queries ride it.
-    try SparkEntry.queries("q_minhash_pairs")(spark, sfDir).count()
-    catch { case e: Throwable => System.err.println(s"[bench] shingle warmup failed: $e") }
+    // SPARK_GRAFT_BENCH_QUERIES=off skips part 1 AND its warmups for local
+    // ingest-tuning loops (the driver's per-round run always includes it) —
+    // part 2's sessions carry their own warm ingest, so these warmups only
+    // serve the query timings.
+    val queriesOn = !sys.env.get("SPARK_GRAFT_BENCH_QUERIES").contains("off")
+    if (queriesOn) {
+      // Warmup: absorb session startup + first-plan codegen so the
+      // alphabetically-first timed query doesn't carry ~5s of fixed cost.
+      try SparkEntry.entry(spark).count()
+      catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
+      // Pin the shared shingle-cache build into warmup: the alphabetically
+      // first similarity query (q_minhash_pairs) otherwise pays the one-time
+      // cache construction inside its timing while later queries ride it.
+      try SparkEntry.queries("q_minhash_pairs")(spark, sfDir).count()
+      catch { case e: Throwable => System.err.println(s"[bench] shingle warmup failed: $e") }
+    }
     // A query that throws must surface as an error, not time as a fast
     // success — otherwise a regression can *improve* the bench.
-    // SPARK_GRAFT_BENCH_QUERIES=off skips part 1 for local ingest-tuning
-    // loops (the driver's per-round run always includes it).
     val results =
-      if (sys.env.get("SPARK_GRAFT_BENCH_QUERIES").contains("off"))
-        Seq.empty[(String, Double, Option[String])]
+      if (!queriesOn) Seq.empty[(String, Double, Option[String])]
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None } catch {

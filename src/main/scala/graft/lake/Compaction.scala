@@ -159,9 +159,17 @@ object Compaction {
    * link leaks the first two, and liveness-based retention alone would keep
    * them forever — unbounded storage leak on a long-lived table with
    * occasional failures). Orphans younger than `orphanMinAgeMs` are spared:
-   * an IN-FLIGHT concurrent commit's fresh staging files look exactly like
-   * orphans until its snapshot lands, so the age floor must exceed the
-   * longest plausible commit (default 10 min).
+   * an IN-FLIGHT concurrent write's staged part files look exactly like
+   * orphans until the snapshot lands, and their mtimes date from TASK WRITE
+   * time (the committer's rename preserves them), so the floor must exceed
+   * the longest plausible write JOB end-to-end, not just the metadata
+   * commit. Default 24 h (the same order as Iceberg's remove_orphan_files
+   * default) — pass a smaller value only when no writer can be in flight.
+   *
+   * Orphan GC is strictly FAIL-SAFE: if liveness cannot be computed
+   * completely (an unreadable snapshot or manifest), the orphan sweep is
+   * skipped for this run rather than risking live data — see the inline
+   * rule below.
    *
    * Safe by construction: the liveness set is computed from RETAINED
    * snapshots' manifests, so a file shared by old and new snapshots
@@ -170,7 +178,7 @@ object Compaction {
    * Returns (filesDeleted incl. orphans, snapshotsDeleted).
    */
   def vacuum(table: LakeTable, retainVersions: Int = 2,
-      orphanMinAgeMs: Long = 600000L): (Int, Int) = {
+      orphanMinAgeMs: Long = 24L * 3600 * 1000): (Int, Int) = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     import scala.util.control.NonFatal
@@ -221,6 +229,14 @@ object Compaction {
     }
 
     // --- orphan GC: crashed-commit litter referenced by NO snapshot --------
+    // FAIL-SAFE RULE: liveness must be computed COMPLETELY or orphan GC must
+    // not run at all. A snapshot that fails to load (format gate, transient
+    // IO) or a manifest that fails to parse MUST NOT degrade to "references
+    // nothing" — that would classify a live snapshot's entire data set as
+    // orphans and destroy the table. The retention half above fails safe by
+    // construction (an unreadable OLD snapshot only means fewer deletions);
+    // this half deletes MORE on error, so any error aborts it (the orphans
+    // just survive until a healthy pass).
     val now = System.currentTimeMillis()
     def oldEnough(p: java.nio.file.Path): Boolean =
       try now - Files.getLastModifiedTime(p).toMillis >= orphanMinAgeMs
@@ -228,28 +244,38 @@ object Compaction {
     def ls(p: java.nio.file.Path): List[java.nio.file.Path] =
       if (!Files.isDirectory(p)) Nil
       else { val s = Files.list(p); try s.iterator().asScala.toList finally s.close() }
-    // liveness re-derived from what SURVIVED this vacuum (every remaining
-    // snapshot, retained or not) — an orphan is reachable from none of them
-    val survivors = table.availableVersions.flatMap(v =>
-      try Some(table.snapshot(v)) catch { case NonFatal(_) => None })
-    val liveManifestNames = survivors.flatMap(_.manifests.map(_.name)).toSet
-    val liveDataPaths = survivors.flatMap(s =>
-      try table.files(s).map(f => local(f.path).toAbsolutePath)
-      catch { case NonFatal(_) => Nil }).toSet
+    def canon(p: java.nio.file.Path): java.nio.file.Path =
+      p.toAbsolutePath.normalize()
+    val liveness: Option[(Set[String], Set[java.nio.file.Path])] =
+      try {
+        val survivors = table.availableVersions.map(table.snapshot)
+        Some((survivors.flatMap(_.manifests.map(_.name)).toSet,
+          // normalize BOTH sides of the path compare: manifest paths are
+          // Hadoop-qualified absolutes, the walk below starts from the
+          // caller-supplied table.dir, which may carry ./.. segments
+          survivors.flatMap(s => table.files(s).map(f => canon(local(f.path)))).toSet))
+      } catch {
+        case NonFatal(e) =>
+          System.err.println(
+            s"[graft] vacuum: skipping orphan GC — liveness incomplete: $e")
+          None
+      }
     var orphans = 0
-    ls(Paths.get(table.dir, "_manifests")).foreach { m =>
-      if (!liveManifestNames(m.getFileName.toString) && oldEnough(m) &&
-          Files.deleteIfExists(m)) orphans += 1
-    }
-    // crashed commit()s can leak .v*.json.tmp next to the snapshot log
-    ls(Paths.get(table.dir, "_snapshots")).foreach { t =>
-      if (t.getFileName.toString.endsWith(".tmp") && oldEnough(t) &&
-          Files.deleteIfExists(t)) orphans += 1
-    }
-    ls(Paths.get(table.dir, "data")).foreach { d =>
-      ls(d).foreach { f =>
-        if (Files.isRegularFile(f) && !liveDataPaths(f.toAbsolutePath) &&
-            oldEnough(f) && Files.deleteIfExists(f)) orphans += 1
+    liveness.foreach { case (liveManifestNames, liveDataPaths) =>
+      ls(Paths.get(table.dir, "_manifests")).foreach { m =>
+        if (!liveManifestNames(m.getFileName.toString) && oldEnough(m) &&
+            Files.deleteIfExists(m)) orphans += 1
+      }
+      // crashed commit()s can leak .v*.json.tmp next to the snapshot log
+      ls(Paths.get(table.dir, "_snapshots")).foreach { t =>
+        if (t.getFileName.toString.endsWith(".tmp") && oldEnough(t) &&
+            Files.deleteIfExists(t)) orphans += 1
+      }
+      ls(Paths.get(table.dir, "data")).foreach { d =>
+        ls(d).foreach { f =>
+          if (Files.isRegularFile(f) && !liveDataPaths(canon(f)) &&
+              oldEnough(f) && Files.deleteIfExists(f)) orphans += 1
+        }
       }
     }
 

@@ -154,14 +154,36 @@ object LakeTable {
   private[graft] val ManifestSealEntries = 4096
 
   /** Manifest contents are immutable => a global cache is safe. Bounded LRU
-    * (access-order): compaction/vacuum orphan old entries, and a wholesale
-    * clear would make the next epoch re-parse every live manifest. */
-  private val manifestCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[String, List[DataFile]](64, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[String, List[DataFile]]): Boolean = size() > 256
-      })
+    * (access-order), capped by TOTAL cached DataFile entries rather than
+    * manifest count: at the design's own 10^6-file point a snapshot carries
+    * ~(10^6/seal + threshold) ≈ 276 manifests, so a 256-manifest cap would
+    * make every sequential full-table scan a 100% miss (each entry evicted
+    * just before reuse). 2^21 entries ≈ a few hundred MB holds 2x that
+    * table's whole metadata; compaction/vacuum orphan old entries and the
+    * LRU ages them out. */
+  private object manifestCache {
+    private val MaxTotalEntries = 1L << 21
+    private val map =
+      new java.util.LinkedHashMap[String, List[DataFile]](64, 0.75f, true)
+    private var totalEntries = 0L
+    def get(k: String): List[DataFile] = synchronized(map.get(k))
+    def put(k: String, v: List[DataFile]): Unit = synchronized {
+      val old = map.put(k, v)
+      totalEntries += v.size.toLong - (if (old == null) 0L else old.size.toLong)
+      val it = map.entrySet().iterator()
+      var done = false
+      while (!done && totalEntries > MaxTotalEntries && it.hasNext) {
+        val e = it.next() // eldest first (access order)
+        if (e.getKey == k) done = true // never evict the just-inserted entry
+        else { totalEntries -= e.getValue.size.toLong; it.remove() }
+      }
+    }
+    def remove(k: String): Unit = synchronized {
+      val old = map.remove(k)
+      if (old != null) totalEntries -= old.size.toLong
+    }
+    def clear(): Unit = synchronized { map.clear(); totalEntries = 0L }
+  }
 
   /** test instrumentation: number of manifest files parsed from disk */
   private[graft] val manifestParses = new java.util.concurrent.atomic.AtomicLong
@@ -256,8 +278,14 @@ object LakeTable {
             case _ => ast // already v3-shaped, just unstamped
           }
           val stamped = upgraded merge JObject("formatVersion" -> JInt(FormatVersion))
-          Files.write(p, JsonMethods.compact(JsonMethods.render(stamped))
+          // atomic replace (write tmp, rename over): an in-place truncate+
+          // write would leave the ONLY copy of this snapshot empty/partial
+          // if the migration crashes mid-write
+          val tmp = p.resolveSibling(p.getFileName.toString + ".stamp.tmp")
+          Files.write(tmp, JsonMethods.compact(JsonMethods.render(stamped))
             .getBytes(StandardCharsets.UTF_8))
+          Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           true
       }
     }

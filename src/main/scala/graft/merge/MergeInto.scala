@@ -658,7 +658,6 @@ object MergeInto {
     def amax(v: Column, o: Column): Column =
       call_function(graft.functions.GraftFunctions.MaxRowByLongName, v, o)
     def cellOf(c: String) = element_at(col(LakeTable.CellLsnCol), lit(c))
-    def bt(c: String) = s"`$c`"
     val aggs: Seq[Column] =
       payloadCols.flatMap(c => Seq(
         amax(struct(col(c).as("v")), cellOf(c)).as(s"_av_$c"),

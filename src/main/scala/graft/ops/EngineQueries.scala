@@ -107,20 +107,18 @@ object EngineQueries {
     "q_merge_sparse_agg" -> ((s, dir) =>
       mergeSparse(s, dir, graft.merge.ResolveStrategy.Agg)))
 
+  // closed-form final state of the sparse changelog: lang touched by the
+  // %3 update, text by the %5 update (other columns must SURVIVE each
+  // sparse update), %7 keys deleted last. ONE definition for both plan
+  // shapes — they must verify against the same oracle by construction.
+  private val sparseOracle =
+    """SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'xx' ELSE lang END AS lang,
+         source,
+         CASE WHEN doc_id % 5 = 0 THEN 'v2:' || text ELSE text END AS text
+       FROM documents WHERE doc_id % 7 <> 0"""
+
   val oracles: Map[String, String] = Map(
-    // closed-form final state of the sparse changelog: lang touched by the
-    // %3 update, text by the %5 update (other columns must SURVIVE each
-    // sparse update), %7 keys deleted last
-    "q_merge_sparse" ->
-      """SELECT doc_id,
-           CASE WHEN doc_id % 3 = 0 THEN 'xx' ELSE lang END AS lang,
-           source,
-           CASE WHEN doc_id % 5 = 0 THEN 'v2:' || text ELSE text END AS text
-         FROM documents WHERE doc_id % 7 <> 0""",
-    "q_merge_sparse_agg" ->
-      """SELECT doc_id,
-           CASE WHEN doc_id % 3 = 0 THEN 'xx' ELSE lang END AS lang,
-           source,
-           CASE WHEN doc_id % 5 = 0 THEN 'v2:' || text ELSE text END AS text
-         FROM documents WHERE doc_id % 7 <> 0""")
+    "q_merge_sparse" -> sparseOracle,
+    "q_merge_sparse_agg" -> sparseOracle)
 }

@@ -87,6 +87,49 @@ class CompactionSpec extends AnyFunSuite {
     assert(!st.noop && st.batchRows > 0)
   }
 
+  test("orphan GC is fail-safe: an unreadable snapshot aborts the sweep, data survives") {
+    // The dangerous failure mode: if a snapshot cannot be loaded (old
+    // formatVersion, transient IO), liveness MUST NOT degrade to
+    // "references nothing" — that would classify the live table as orphans.
+    // The sweep must skip instead; the litter just waits for a healthy pass.
+    import java.nio.file.{Files, Paths}
+    import java.sql.Timestamp
+    import spark.implicits._
+    val work = TestSpark.tmpDir("orphan-failsafe")
+    val table = LakeTable.create(s"$work/t", Schemas.turn)
+    MergeInto.merge(spark, table,
+      Seq(("I", 1L, "c1", 0, "user", "hello", None: Option[String],
+        Timestamp.valueOf("2025-01-01 00:00:00")))
+        .toDF("op", "lsn", "conv_id", "turn_idx", "role", "text", "tool", "ts"),
+      "fs", 0L, MergeOptions(mode = graft.merge.MergeMode.Mor))
+    val liveFiles = table.currentFiles.map(_.path)
+    // un-stamp ONE snapshot so loading it fails loudly
+    val p0 = Paths.get(s"$work/t/_snapshots", f"v${0L}%020d.json")
+    val raw = new String(Files.readAllBytes(p0), "UTF-8")
+    Files.write(p0,
+      raw.replace(s""""formatVersion":${LakeTable.FormatVersion},""", "")
+        .replace(s""","formatVersion":${LakeTable.FormatVersion}""", "")
+        .getBytes("UTF-8"))
+    // plant an aged orphan that a healthy sweep WOULD collect
+    val orphan = Paths.get(s"$work/t/_manifests/m999-dead.json")
+    Files.write(orphan, "[]".getBytes("UTF-8"))
+    val (deleted, snaps) = Compaction.vacuum(table, retainVersions = 100,
+      orphanMinAgeMs = 0L)
+    assert(deleted == 0 && snaps == 0,
+      s"fail-safe violated: deleted $deleted files, $snaps snapshots")
+    assert(Files.exists(orphan), "sweep should have been skipped entirely")
+    liveFiles.foreach { f =>
+      val p = if (f.startsWith("file:"))
+        Paths.get(java.net.URI.create(f).getPath) else Paths.get(f)
+      assert(Files.exists(p), s"live data deleted under incomplete liveness: $f")
+    }
+    // after migration the same sweep collects the orphan and spares the data
+    LakeTable.stampFormatVersion(s"$work/t")
+    val (d2, _) = Compaction.vacuum(table, retainVersions = 100, orphanMinAgeMs = 0L)
+    assert(d2 >= 1 && !Files.exists(orphan))
+    assert(table.read(spark).count() == 1)
+  }
+
   test("vacuum collects crashed-commit orphans; young in-flight files survive") {
     import java.nio.file.{Files, Paths}
     import java.sql.Timestamp
