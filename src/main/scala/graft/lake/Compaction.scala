@@ -31,6 +31,11 @@ final case class CompactionStats(
 
 object Compaction {
 
+  /** test hook: sleep between the fold's data write and its commit — lets
+    * specs race ingest epochs against an in-flight out-of-band fold
+    * deterministically (see MergeOptions.foldAsync) */
+  @volatile private[graft] var testDelayBeforeFoldCommitMs: Long = 0L
+
   /** Write encoding for maintenance rewrites — matches the merge default
     * (lz4, no dictionary): measured decode-at-width rationale at
     * [[graft.merge.MergeOptions.parquetCodec]]. */
@@ -87,17 +92,41 @@ object Compaction {
     * bounds (the default — feeds CoW pruning and compact). Pass false for a
     * pure-MoR table, where no code path prunes on base bounds: the hash
     * exchange skips repartitionByRange's whole-input boundary-sampling scan,
-    * folding in one pass over the data. */
+    * folding in one pass over the data.
+    *
+    * `scoped` (default true): fold deltas only into the BASE files whose key
+    * range intersects the deltas' key envelope, carrying the rest of the base
+    * over by reference — a key-local delta burst (one hot tenant, one
+    * backfilled range) rewrites O(intersecting base), never O(table). A base
+    * file outside the envelope on the first key column cannot share any full
+    * key with a delta, so the untouched partition of the fold is exact; the
+    * fallback to a full fold (any delta/base file with unknown bounds, or
+    * uniform deltas spanning the whole key space) degrades to the old
+    * behavior, never to a wrong one. Tombstones in carried-over base files
+    * are untouched (folding only re-resolves rows that could conflict). */
   def foldDeltas(
       spark: SparkSession,
       table: LakeTable,
       targetRowsPerFile: Long = 500000L,
       minRowsPerFile: Long = 10000L,
-      rangePlace: Boolean = true): CompactionStats = {
+      rangePlace: Boolean = true,
+      scoped: Boolean = true): CompactionStats = {
     val t0 = System.nanoTime()
     val snap = table.currentSnapshot
-    val all = table.files(snap)
-    if (!all.exists(_.delta)) return CompactionStats.empty
+    val allFiles = table.files(snap)
+    val deltas = allFiles.filter(_.delta)
+    if (deltas.isEmpty) return CompactionStats.empty
+    val baseFiles = allFiles.filterNot(_.delta)
+    val deltaBoundsKnown = deltas.forall(f => f.minKey != null && f.maxKey != null)
+    val (touchedBase, carriedBase) =
+      if (!scoped || !deltaBoundsKnown) (baseFiles, Nil)
+      else {
+        val lo = deltas.map(_.minKey).min(KeyCodec.ordering)
+        val hi = deltas.map(_.maxKey).max(KeyCodec.ordering)
+        baseFiles.partition(f => f.minKey == null || f.maxKey == null ||
+          (KeyCodec.compare(f.maxKey, lo) >= 0 && KeyCodec.compare(f.minKey, hi) <= 0))
+      }
+    val all = touchedBase ++ deltas
     val schema = snap.schema
     val estRows = all.map(_.rows).sum
     val bySize = (estRows + targetRowsPerFile - 1) / targetRowsPerFile
@@ -126,10 +155,20 @@ object Compaction {
       .parquet(outDir)
 
     val newFiles = writtenStats(spark, table, outDir, newVersion, delta = false)
-    table.commitChange(snap, snap.schemaJson, all.map(_.path).toSet, newFiles, None)
-    val stats = CompactionStats(all.size, newFiles.size, estRows,
+    if (testDelayBeforeFoldCommitMs > 0) Thread.sleep(testDelayBeforeFoldCommitMs)
+    // removed-key envelope lets the commit skip parsing manifests that cannot
+    // contain a removed path (same contract as the merge's CoW commit)
+    val removedBounds =
+      if (all.forall(f => f.minKey != null && f.maxKey != null))
+        Some((all.map(_.minKey).min(KeyCodec.ordering),
+          all.map(_.maxKey).max(KeyCodec.ordering)))
+      else None
+    val committed = table.commitChange(snap, snap.schemaJson,
+      all.map(_.path).toSet, newFiles, None, removedBounds = removedBounds)
+    val stats = CompactionStats(allFiles.size,
+      carriedBase.size + newFiles.size, estRows,
       (System.nanoTime() - t0) / 1000000L)
-    logFold(table, newVersion, stats)
+    logFold(table, committed.version, stats)
     stats
   }
 
@@ -141,7 +180,8 @@ object Compaction {
     java.nio.file.Files.write(dir.resolve(f"fold-$version%010d.json"),
       (s"""{"op":"fold","snapshotVersion":$version,"filesBefore":${s.filesBefore},""" +
         s""""filesAfter":${s.filesAfter},"rowsRewritten":${s.rowsRewritten},""" +
-        s""""foldMs":${s.wallMs}}""").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        s""""foldMs":${s.wallMs},"thread":"${Thread.currentThread.getName}"}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     ()
   }
 
@@ -271,23 +311,44 @@ object Compaction {
         if (t.getFileName.toString.endsWith(".tmp") && oldEnough(t) &&
             Files.deleteIfExists(t)) orphans += 1
       }
+      // RECURSIVE sweep of each data/v* dir: a crashed write job leaves a
+      // nested `_temporary/<attempt>/...` tree inside its staging dir, which
+      // a one-level scan would never collect — the staging dir then stays
+      // non-empty forever (the unbounded-litter class this GC exists for).
+      // Well-known job markers (_SUCCESS, .crc sidecars) are exempt INSIDE
+      // directories that still hold live data — external tools check them —
+      // but a dir with no live files at all is pure litter, markers included.
+      def isMarker(p: java.nio.file.Path): Boolean = {
+        val n = p.getFileName.toString
+        n == "_SUCCESS" || n.endsWith(".crc") || n.startsWith("._")
+      }
+      def walkFiles(p: java.nio.file.Path): List[java.nio.file.Path] =
+        ls(p).flatMap(c =>
+          if (Files.isDirectory(c)) walkFiles(c)
+          else if (Files.isRegularFile(c)) List(c) else Nil)
       ls(Paths.get(table.dir, "data")).foreach { d =>
-        ls(d).foreach { f =>
-          if (Files.isRegularFile(f) && !liveDataPaths(canon(f)) &&
-              oldEnough(f) && Files.deleteIfExists(f)) orphans += 1
+        val all = walkFiles(d)
+        val hasLive = all.exists(f => liveDataPaths(canon(f)))
+        all.foreach { f =>
+          val keep = liveDataPaths(canon(f)) || (hasLive && isMarker(f))
+          if (!keep && oldEnough(f) && Files.deleteIfExists(f)) orphans += 1
         }
       }
     }
 
-    // drop now-empty data/v* dirs (streams closed promptly: fd per dir)
+    // drop now-empty dirs under data/ (deepest-first so emptied nested
+    // staging trees collapse in one pass; streams closed promptly)
     val dataDir = Paths.get(table.dir, "data")
-    ls(dataDir).foreach { d =>
-      if (Files.isDirectory(d)) {
+    def dropEmptyDirs(d: java.nio.file.Path): Unit = {
+      ls(d).foreach(c => if (Files.isDirectory(c)) dropEmptyDirs(c))
+      if (d != dataDir) {
         val s = Files.list(d)
         val empty = try !s.iterator().hasNext finally s.close()
         if (empty) Files.deleteIfExists(d)
+        ()
       }
     }
+    if (Files.isDirectory(dataDir)) dropEmptyDirs(dataDir)
     (filesDeleted + orphans, snapsDeleted)
   }
 

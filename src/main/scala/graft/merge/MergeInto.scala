@@ -139,7 +139,21 @@ final case class MergeOptions(
       * correctness is identical; deltas are just larger when one batch
       * updates the same key repeatedly). The right trade when batches are
       * mostly unique keys and folds are frequent. */
-    morResolveWithinBatch: Boolean = true)
+    morResolveWithinBatch: Boolean = true,
+    /** MoR: run trigger-fired delta folds OUT-OF-BAND on a maintenance
+      * thread instead of inline in the epoch. An inline fold reads
+      * base+deltas in full — at 100 TB that is a multi-hour job executed
+      * INSIDE a foreachBatch epoch: the stream stalls, checkpoint progress
+      * stops, upstream backlog grows unboundedly. Async folds ride the
+      * disjoint-writer rebase commit (epochs only ADD delta files; the fold
+      * only REMOVES files that existed at its start snapshot — provably
+      * disjoint, raced cross-JVM in CommitRaceSpec), so epochs keep
+      * committing while the fold runs. At most one fold per table is in
+      * flight; a trigger that fires mid-fold is absorbed (the running fold
+      * already shrinks the backlog, and the next epoch re-evaluates).
+      * Default off: inline folds keep single-shot batch jobs and tests
+      * deterministic; the streaming ingest config turns it on. */
+    foldAsync: Boolean = false)
 
 sealed trait ResolveStrategy
 object ResolveStrategy {
@@ -386,7 +400,14 @@ object MergeInto {
           // per-column provenance (see resolveSparse / resolveSparseAgg)
           opts.sparseResolve match {
             case ResolveStrategy.Agg =>
-              resolveSparseAgg(obsNorm, keyCols, nonKeyPayload)
+              // coalesce (not repartition) the aggregate output to nOut so
+              // file sizing stays governed by targetRowsPerFile like every
+              // other write path — the agg's own output partitioning is
+              // spark.sql.shuffle.partitions, which would spray that many
+              // tiny delta files per small epoch. Coalesce merges post-agg
+              // partitions without a second exchange and no-ops when the
+              // agg already runs at <= nOut partitions.
+              resolveSparseAgg(obsNorm, keyCols, nonKeyPayload).coalesce(nOut)
             case ResolveStrategy.SortDedup =>
               resolveSparse(obsNorm.repartition(nOut, keyCols.map(col): _*),
                 keyCols, nonKeyPayload)
@@ -522,11 +543,59 @@ object MergeInto {
         // largest cost of a from-empty ingest window. Until the first real
         // fold, the file-count trigger bounds read fan-in on its own.
         if (deltaFiles > opts.morCompactMaxDeltaFiles ||
-            (baseRows > 0 && deltaRows > baseRows * opts.morCompactDeltaRatio))
-          Compaction.foldDeltas(spark, table, opts.targetRowsPerFile, opts.minRowsPerFile)
+            (baseRows > 0 && deltaRows > baseRows * opts.morCompactDeltaRatio)) {
+          if (opts.foldAsync)
+            submitMaintenance(table.dir) { () =>
+              Compaction.foldDeltas(spark, table,
+                opts.targetRowsPerFile, opts.minRowsPerFile)
+              ()
+            }
+          else
+            Compaction.foldDeltas(spark, table, opts.targetRowsPerFile,
+              opts.minRowsPerFile)
+        }
       }
       stats
     }
+  }
+
+  /** Single maintenance thread for out-of-band folds/vacuums (see
+    * [[MergeOptions.foldAsync]]): daemon so a finished driver never hangs on
+    * it, one thread so two maintenance jobs never race each other's commit
+    * (cross-PROCESS races remain covered by the rebase retry). */
+  private lazy val maintenancePool = java.util.concurrent.Executors
+    .newSingleThreadExecutor { r =>
+      val t = new Thread(r, "graft-maintenance"); t.setDaemon(true); t
+    }
+  /** table dirs with a maintenance task queued or running */
+  private val maintenanceInFlight =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Queue `task` for `tableDir` unless one is already pending — a trigger
+    * firing mid-fold is absorbed, not queued behind it (the running fold
+    * already shrinks the delta backlog; the next epoch re-evaluates the
+    * trigger). Failures log and clear the flag: maintenance is best-effort
+    * by design (the stream's correctness never depends on a fold). */
+  private[graft] def submitMaintenance(tableDir: String)(task: () => Unit): Boolean = {
+    if (!maintenanceInFlight.add(tableDir)) return false
+    maintenancePool.submit(new Runnable {
+      override def run(): Unit =
+        try task()
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[graft] maintenance task for $tableDir failed: $e")
+        } finally {
+          maintenanceInFlight.remove(tableDir); ()
+        }
+    })
+    true
+  }
+
+  /** Drain the maintenance queue (tests, bounded-lifecycle jobs): returns
+    * once every task submitted before the call has finished. */
+  def awaitMaintenance(): Unit = {
+    maintenancePool.submit(new Runnable { override def run(): Unit = () }).get()
+    ()
   }
 
   /**

@@ -80,7 +80,20 @@ final case class IngestConfig(
       * (default) leaves them. Safe only when this job is the sole consumer. */
     cleanSource: String = "off",
     /** archive target for cleanSource = "archive" */
-    sourceArchiveDir: Option[String] = None)
+    sourceArchiveDir: Option[String] = None,
+    /** Run `Compaction.vacuum` every N committed epochs (None = never, the
+      * default — retention is destructive, so it is opt-in). Executes on the
+      * out-of-band maintenance thread, never inside the epoch: a long-lived
+      * ingest otherwise accumulates one snapshot + manifest per epoch
+      * forever. Sized so downstream change-feed consumers
+      * ([[graft.stream.ChangeFeed]]) keep a catch-up window of
+      * `vacuumRetainVersions` epochs before hitting the named retention
+      * error. */
+    vacuumEveryEpochs: Option[Int] = None,
+    vacuumRetainVersions: Int = 64,
+    /** passed through to vacuum's orphan GC age floor; the 24h default is
+      * the safe one — lower it only in tests / single-writer replays */
+    vacuumOrphanMinAgeMs: Long = 24L * 3600 * 1000)
 
 object CdcIngestJob {
 
@@ -134,6 +147,18 @@ object CdcIngestJob {
         // ledger makes the replay exactly-once).
         val mat = if (cfg.streamDedup) batch.localCheckpoint() else batch
         MergeInto.merge(batch.sparkSession, table, mat, id, epochId, cfg.mergeOptions)
+        // retention cadence: out-of-band like async folds — a vacuum is
+        // driver-side fs work but still O(retained snapshots) and must never
+        // stretch an epoch; the maintenance queue also serializes it against
+        // a concurrent fold on the same table (one thread)
+        cfg.vacuumEveryEpochs.foreach { n =>
+          if (epochId > 0 && epochId % n == 0)
+            MergeInto.submitMaintenance(cfg.tableDir) { () =>
+              graft.lake.Compaction.vacuum(LakeTable.load(cfg.tableDir),
+                cfg.vacuumRetainVersions, cfg.vacuumOrphanMinAgeMs)
+              ()
+            }
+        }
         ()
       }
       .trigger(trigger)

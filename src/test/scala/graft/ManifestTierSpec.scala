@@ -113,6 +113,81 @@ class ManifestTierSpec extends AnyFunSuite {
     assert(got.epochHwm == want.epochHwm && got.keyCols == want.keyCols)
   }
 
+  test("change-file catch-up parses O(new manifests), not O(versions x manifests)") {
+    val dir = TestSpark.tmpDir("mcdc")
+    val table = LakeTable.create(s"$dir/t", schema, keyCols = Seq("conv_id"))
+    val nCommits = 120
+    (1 to nCommits).foreach { i =>
+      val snap = table.currentSnapshot
+      table.commitChange(snap, snap.schemaJson, Set.empty,
+        mkFiles(s"$dir/t", snap.version + 1, i * 10, 2, delta = true),
+        Some(("cdc", i.toLong)))
+    }
+    val head = table.currentVersion
+    assert(head == nCommits.toLong)
+    // brute-force ground truth first (the OLD resolution): all files of every
+    // snapshot in range, filtered to that version's delta adds
+    val brute = (21L to head).flatMap(v =>
+      table.files(table.snapshot(v)).filter(f => f.delta && f.addedAtVersion == v))
+      .distinct.toSet
+    LakeTable.clearManifestCacheForTest()
+    val p0 = LakeTable.manifestParses.get()
+    val got = table.changeFilesBetween(20L, head)
+    val parsed = LakeTable.manifestParses.get() - p0
+    assert(got.toSet == brute, "per-version lookup diverged from ground truth")
+    assert(got.size == 100 * 2)
+    // each version contributes at most its own add manifest plus the
+    // same-commit fold manifest — never the snapshot's whole manifest list
+    // (the old walk parsed ~#manifests (>30 here) per version: >3000 parses)
+    assert(parsed <= 2 * 100,
+      s"catch-up parsed $parsed manifests for 100 versions — not O(new manifests)")
+  }
+
+  test("stampFormatVersion tolerates a non-head snapshot with a vacuumed manifest") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val dir = TestSpark.tmpDir("mstamp-tol")
+    val table = LakeTable.create(s"$dir/t", schema, keyCols = Seq("conv_id"))
+    val snap0 = table.currentSnapshot
+    val a = mkFiles(s"$dir/t", 1L, 0, 4)
+    table.commitChange(snap0, snap0.schemaJson, Set.empty, a, None) // v1
+    // v2 removes all of v1's files -> v1's manifest is referenced ONLY by v1
+    table.commitChange(table.currentSnapshot, snap0.schemaJson,
+      a.map(_.path).toSet, mkFiles(s"$dir/t", 2L, 100, 4), Some(("st", 1L)))
+    val v1Manifests = table.snapshot(1L).manifests.map(_.name)
+    val headManifests = table.currentSnapshot.manifests.map(_.name).toSet
+    val onlyV1 = v1Manifests.filterNot(headManifests)
+    assert(onlyV1.nonEmpty, "setup: need a manifest unique to the old snapshot")
+    // downgrade every snapshot to the v2 (bare-name) shape
+    val snapDir = java.nio.file.Paths.get(s"$dir/t/_snapshots")
+    val it = java.nio.file.Files.list(snapDir).iterator()
+    while (it.hasNext) {
+      val p = it.next()
+      val ast = JsonMethods.parse(
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+      val v2 = ast.transformField {
+        case JField("manifests", JArray(ms)) =>
+          JField("manifests", JArray(ms.map(m => m \ "name")))
+        case JField("formatVersion", _) => JField("formatVersion", JInt(2))
+      }
+      java.nio.file.Files.write(p,
+        JsonMethods.compact(JsonMethods.render(v2)).getBytes("UTF-8"))
+    }
+    // simulate the interrupted-vacuum state: v1's manifest already deleted
+    onlyV1.foreach { m =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/t/_manifests", m))
+    }
+    LakeTable.clearManifestCacheForTest()
+    // migration must NOT abort: v0 + head migrate, the wounded v1 is skipped
+    val migrated = LakeTable.stampFormatVersion(s"$dir/t")
+    assert(migrated == 2, s"expected 2 snapshots migrated, got $migrated")
+    val got = table.currentSnapshot // head reads fine post-migration
+    assert(got.manifests.map(_.name).toSet == headManifests)
+    assert(got.epochHwm == Map("st" -> 1L))
+    // the skipped snapshot still fails loudly (it was unreadable before, too)
+    intercept[IllegalStateException](table.snapshot(1L))
+  }
+
   test("head discovery probes forward: no snapshot-log listing per commit") {
     val dir = TestSpark.tmpDir("mhead")
     val table = LakeTable.create(s"$dir/t", schema, keyCols = Seq("conv_id"))
