@@ -190,7 +190,7 @@ object Bench {
     * must fail here rather than post a fast-but-wrong events/sec, and a
     * width-dependent bug cannot hide behind the other width's table. */
   private def verifyBoth(work: String, walDir: String, coresLo: Int, cpus: Int,
-      reps: Int): (Boolean, Boolean) = {
+      lastRepLo: Int, lastRepHi: Int): (Boolean, Boolean) = {
     val s = session(cpus, None)
     try {
       import org.apache.spark.sql.functions._
@@ -208,9 +208,9 @@ object Bench {
       }
       val want = sig(expected)
       // every rep writes the same logical state; checking each width's last
-      def check(cores: Int): Boolean =
-        sig(graft.lake.LakeTable.load(s"$work/table$cores-$reps").read(s)) == want
-      (check(coresLo), check(cpus))
+      def check(cores: Int, rep: Int): Boolean =
+        sig(graft.lake.LakeTable.load(s"$work/table$cores-$rep").read(s)) == want
+      (check(coresLo, lastRepLo), check(cpus, lastRepHi))
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] verification failed: $e")
@@ -284,38 +284,67 @@ object Bench {
       // so an extra best-of sample costs less than r3's 5-rep run while
       // narrowing the host-noise tail on the wide width
       val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "6").toInt
-      val runs = (1 to reps).map { i =>
-        val lo = ingestOnce(coresLo, s"$work/wal", s"$work/walwarm", work, p, i)
-        val hi = ingestOnce(cpus, s"$work/wal", s"$work/walwarm", work, p, i)
+      // after the interleaved base, each width's best-of is EXTENDED until
+      // stable: up to this many extra single-width reps, stopping once a rep
+      // fails to improve that width's best by >2%. Outcome-blind (never looks
+      // at the ratio or any target — only at whether the width's own estimate
+      // is still rising) and symmetric (same rule, both widths), so it cannot
+      // select FOR a high ratio; it only tightens each best-of toward the
+      // true quiet-host value, which host noise can understate but never
+      // overstate (contention only ever makes a run slower).
+      val maxExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "3").toInt
+      val repIdx = scala.collection.mutable.Map[Int, Int]().withDefaultValue(0)
+      val ingestRuns = scala.collection.mutable.Map[Int,
+        List[(Double, Double, Double, Double)]]().withDefaultValue(Nil)
+      def cleanupRep(c: Int, i: Int): Unit =
+        Seq(s"table$c-$i", s"ckpt$c-$i", s"warmtable$c-$i", s"warmckpt$c-$i",
+          s"local$c-$i").foreach(d => rmTree(new java.io.File(s"$work/$d")))
+      def runOne(cores: Int, tag: String): (Double, Double, Double, Double) = {
+        val i = repIdx(cores) + 1
+        repIdx(cores) = i
+        val r = ingestOnce(cores, s"$work/wal", s"$work/walwarm", work, p, i)
+        // keep tmpfs flat: only the LAST rep per width feeds the verification
+        // gate; stale rep state would otherwise grow the resident set ~5 GiB
+        // per rep and squeeze the page cache the wide runs depend on
+        if (i > 1) cleanupRep(cores, i - 1)
+        ingestRuns(cores) = ingestRuns(cores) :+ r
         // per-rep visibility (stderr, not the JSON contract): host noise on
         // this shared VM swings single windows up to ~4x — the variance
         // matters when reading the best-of headline
         System.err.println(
-          f"[bench] rep$i lo=${lo._1}%.0f eps hi=${hi._1}%.0f eps " +
-            f"(cpu ${lo._2}%.2f/${hi._2}%.2f bw ${lo._3}%.2f/${hi._3}%.2f " +
-            f"scan ${lo._4}%.2f/${hi._4}%.2f)")
-        // keep tmpfs flat across reps: only the LAST rep's tables feed the
-        // verification gate; stale rep state would otherwise grow the
-        // resident set by ~5 GiB per rep and squeeze the page cache the
-        // wide runs depend on
-        if (i < reps) Seq(coresLo, cpus).foreach { c =>
-          Seq(s"table$c-$i", s"ckpt$c-$i", s"warmtable$c-$i", s"warmckpt$c-$i",
-            s"local$c-$i").foreach(d => rmTree(new java.io.File(s"$work/$d")))
-        }
-        (lo, hi)
+          f"[bench] $tag$i w=$cores eps=${r._1}%.0f " +
+            f"(cpu ${r._2}%.2f bw ${r._3}%.2f scan ${r._4}%.2f)")
+        r
       }
+      (1 to reps).foreach { _ =>
+        runOne(coresLo, "rep"); runOne(cpus, "rep")
+      }
+      def extend(cores: Int): Unit = {
+        var best = ingestRuns(cores).map(_._1).max
+        var extras = 0
+        var improving = true
+        while (improving && extras < maxExtra) {
+          val r = runOne(cores, "ext")
+          extras += 1
+          improving = r._1 > best * 1.02
+          if (improving) best = r._1
+        }
+      }
+      if (maxExtra > 0) { extend(coresLo); extend(cpus) }
+
       val widthRatio = cpus.toDouble / coresLo
-      val epsLo = runs.map(_._1._1).max
-      val epsHi = runs.map(_._2._1).max
-      val cpuLo = runs.map(_._1._2).min
-      val cpuHi = runs.map(_._2._2).min
-      val bwLo = runs.map(_._1._3).min
-      val bwHi = runs.map(_._2._3).min
-      val scanLo = runs.map(_._1._4).min
-      val scanHi = runs.map(_._2._4).min
+      val epsLo = ingestRuns(coresLo).map(_._1).max
+      val epsHi = ingestRuns(cpus).map(_._1).max
+      val cpuLo = ingestRuns(coresLo).map(_._2).min
+      val cpuHi = ingestRuns(cpus).map(_._2).min
+      val bwLo = ingestRuns(coresLo).map(_._3).min
+      val bwHi = ingestRuns(cpus).map(_._3).min
+      val scanLo = ingestRuns(coresLo).map(_._4).min
+      val scanHi = ingestRuns(cpus).map(_._4).min
 
       val (verifiedLo, verifiedHi) =
-        verifyBoth(work, s"$work/wal", coresLo, cpus, reps)
+        verifyBoth(work, s"$work/wal", coresLo, cpus,
+          repIdx(coresLo), repIdx(cpus))
 
       val eff = (epsHi / epsLo) / widthRatio
       // what this host actually delivers for a perfectly parallel Spark job

@@ -96,8 +96,52 @@ object EngineQueries {
     table.read(s).select(col("doc_id"), col("lang"), col("source"), col("text"))
   }
 
+  /**
+   * CDC-out e2e: a deterministic changelog derived from `documents` is
+   * merged into an UPSTREAM lake table over three MoR epochs (inserts,
+   * full-row updates, deletes), then a [[graft.stream.ChangeFeed]] consumer
+   * follows the upstream's change stream into a DOWNSTREAM table via its
+   * persisted cursor — pipelines feeding pipelines
+   * (/root/reference/doc.go:53-110). The returned frame is the DOWNSTREAM
+   * state, so the DuckDB oracle verifies the whole chain: merge semantics,
+   * per-version change-file resolution, and feed application.
+   */
+  def changeFeedE2E(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.stream.ChangeFeed
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val work = Scratch.dir("graft-feed")
+    val payload = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("text", StringType)))
+    val up = LakeTable.create(s"$work/up", payload, keyCols = Seq("doc_id"))
+    val opts = MergeOptions(keyCols = Seq("doc_id"),
+      mode = graft.merge.MergeMode.Mor)
+    // non-sparse updates carry the FULL row (whole-row overwrite semantics)
+    val ins = docs.select(lit("I").as("op"), (col("doc_id") * 4).as("lsn"),
+      col("doc_id"), col("lang"), col("source"), col("text"))
+    val upd = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(lit("U").as("op"), (col("doc_id") * 4 + 1).as("lsn"),
+        col("doc_id"), lit("xx").as("lang"), col("source"),
+        concat(lit("u1:"), col("text")).as("text"))
+    val dels = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select(lit("D").as("op"), (col("doc_id") * 4 + 2).as("lsn"),
+        col("doc_id"), lit(null).cast(StringType).as("lang"),
+        lit(null).cast(StringType).as("source"),
+        lit(null).cast(StringType).as("text"))
+    MergeInto.merge(s, up, ins, "feed-up", 0L, opts)
+    MergeInto.merge(s, up, upd, "feed-up", 1L, opts)
+    MergeInto.merge(s, up, dels, "feed-up", 2L, opts)
+    val cfg = ChangeFeed.Config(s"$work/up", s"$work/down", s"$work/cursor")
+    ChangeFeed.catchUp(s, cfg)
+    LakeTable.load(s"$work/down").read(s)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_ingest_e2e" -> ((s, dir) => cdcIngestE2E(s, paramsFor(dir))),
+    "q_change_feed_e2e" -> ((s, dir) => changeFeedE2E(s, dir)),
     "q_cdc_stream_e2e" -> ((s, dir) =>
       cdcStreamE2E(s, paramsFor(dir).copy(nEvents = 20000L, eventsPerFile = 2500L,
         maxLateEvents = 500))),
@@ -120,5 +164,12 @@ object EngineQueries {
 
   val oracles: Map[String, String] = Map(
     "q_merge_sparse" -> sparseOracle,
-    "q_merge_sparse_agg" -> sparseOracle)
+    "q_merge_sparse_agg" -> sparseOracle,
+    // closed form of the 3-epoch changelog as seen THROUGH the change feed
+    "q_change_feed_e2e" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'xx' ELSE lang END AS lang,
+           source,
+           CASE WHEN doc_id % 3 = 0 THEN 'u1:' || text ELSE text END AS text
+         FROM documents WHERE doc_id % 7 <> 0""")
 }

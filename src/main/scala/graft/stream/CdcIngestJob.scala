@@ -72,8 +72,11 @@ final case class IngestConfig(
       * `runAvailableNow` restores the prior value when the stream ends. */
     maxPartitionBytes: Option[Long] = Some(16L * 1024 * 1024),
     /** merge-on-read by default: a streaming epoch writes O(batch) delta
-      * files, never a copy-on-write rewrite of the table (see MergeMode) */
-    mergeOptions: MergeOptions = MergeOptions(mode = graft.merge.MergeMode.Mor),
+      * files, never a copy-on-write rewrite of the table (see MergeMode) —
+      * and trigger-fired folds run OUT-OF-BAND (foldAsync): a stream must
+      * never stall an epoch behind an O(table) fold (see MergeOptions) */
+    mergeOptions: MergeOptions =
+      MergeOptions(mode = graft.merge.MergeMode.Mor, foldAsync = true),
     /** consumed-source handling — the reference S3Reader's delete-after-read
       * (/root/reference/processors/s3_reader.go): "delete" removes WAL files
       * once their batch is committed, "archive" moves them aside, "off"
