@@ -620,9 +620,11 @@ final class LakeTable(val dir: String) {
   }
 
   /** Raw stored rows (incl. tombstones + metadata cols) at a snapshot. */
-  def readRaw(spark: SparkSession, snap: Snapshot): DataFrame = {
-    val schema = snap.schema
-    val fs = files(snap)
+  def readRaw(spark: SparkSession, snap: Snapshot): DataFrame =
+    readRawFiles(spark, snap.schema, files(snap))
+
+  private def readRawFiles(spark: SparkSession, schema: StructType,
+      fs: List[DataFile]): DataFrame = {
     if (fs.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     } else {
@@ -702,11 +704,35 @@ final class LakeTable(val dir: String) {
     readChangesBetween(spark, sinceVersion, currentVersion)
 
   /** Time travel: table contents as of a given snapshot version. */
-  def readAt(spark: SparkSession, version: Long): DataFrame = {
+  def readAt(spark: SparkSession, version: Long): DataFrame =
+    readAtIntersecting(spark, version, None, None)
+
+  /**
+   * Resolved read restricted to the files whose first-key envelope intersects
+   * the given ENCODED bounds (either side optional; `None` = unbounded).
+   * Two-level pruning — non-intersecting manifests are never parsed, then
+   * non-intersecting files drop from the scan. Exact for any predicate whose
+   * rows all satisfy lo <= key <= hi: a key inside the envelope has ALL its
+   * row versions (deltas + tombstones) in intersecting files, so merge-on-read
+   * resolution sees the full history; keys outside the envelope may surface
+   * (files overlap the envelope) and the caller re-applies its predicate.
+   * This is the DSv2 scan path ([[graft.spark.GraftDataSource]]).
+   */
+  private[graft] def readAtIntersecting(spark: SparkSession, version: Long,
+      keyLo: Option[String], keyHi: Option[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, not, coalesce, lit}
     val snap = snapshot(version)
     val payloadCols = snap.schema.fieldNames.filterNot(MetaCols.contains).map(col).toSeq
-    val raw = readRaw(spark, snap)
+    def hit(minKey: String, maxKey: String): Boolean =
+      minKey == null || maxKey == null ||
+        (keyLo.forall(lo => KeyCodec.compare(maxKey, lo) >= 0) &&
+          keyHi.forall(hi => KeyCodec.compare(minKey, hi) <= 0))
+    val fs =
+      if (keyLo.isEmpty && keyHi.isEmpty) files(snap)
+      else snap.manifests.filter(m => hit(m.minKey, m.maxKey))
+        .flatMap(m => readManifest(m.name))
+        .filter(f => hit(f.minKey, f.maxKey))
+    val raw = readRawFiles(spark, snap.schema, fs)
     // merge-on-read: unresolved delta rows fold before the tombstone filter
     // (per-column cell-lsn fold for sparse tables, max-lsn rows otherwise);
     // pure-base snapshots skip the fold (already resolved)

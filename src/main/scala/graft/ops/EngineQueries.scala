@@ -139,9 +139,36 @@ object EngineQueries {
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
   }
 
+  /**
+   * DataSourceV2 e2e: a lake table seeded through the merge API, upserted
+   * again through the PLAIN-SQL face (`df.write.format("graft")` append =
+   * one auto-LSN merge epoch), then read back through
+   * `spark.read.format("graft")` with a key-range predicate that pushes into
+   * manifest/file envelope pruning ([[graft.spark.GraftDataSource]]).
+   */
+  def dsv2E2E(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val work = Scratch.dir("graft-dsv2")
+    val payload = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val t = LakeTable.create(s"$work/t", payload, keyCols = Seq("doc_id"))
+    val opts = MergeOptions(keyCols = Seq("doc_id"),
+      mode = graft.merge.MergeMode.Mor)
+    val ins = docs.select(lit("I").as("op"), col("doc_id").as("lsn"),
+      col("doc_id"), col("text"))
+    MergeInto.merge(s, t, ins, "dsv2-seed", 0L, opts)
+    docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), concat(lit("sql:"), col("text")).as("text"))
+      .write.format("graft").mode("append").save(s"$work/t")
+    s.read.format("graft").load(s"$work/t").filter(col("doc_id") < 300)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_ingest_e2e" -> ((s, dir) => cdcIngestE2E(s, paramsFor(dir))),
     "q_change_feed_e2e" -> ((s, dir) => changeFeedE2E(s, dir)),
+    "q_dsv2_sql" -> ((s, dir) => dsv2E2E(s, dir)),
     "q_cdc_stream_e2e" -> ((s, dir) =>
       cdcStreamE2E(s, paramsFor(dir).copy(nEvents = 20000L, eventsPerFile = 2500L,
         maxLateEvents = 500))),
@@ -165,6 +192,11 @@ object EngineQueries {
   val oracles: Map[String, String] = Map(
     "q_merge_sparse" -> sparseOracle,
     "q_merge_sparse_agg" -> sparseOracle,
+    // closed form of the seed + SQL-face upsert under the pushed predicate
+    "q_dsv2_sql" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN 'sql:' || text ELSE text END AS text
+         FROM documents WHERE doc_id < 300""",
     // closed form of the 3-epoch changelog as seen THROUGH the change feed
     "q_change_feed_e2e" ->
       """SELECT doc_id,

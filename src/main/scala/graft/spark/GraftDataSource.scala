@@ -1,0 +1,214 @@
+package graft.spark
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{lit, monotonically_increasing_id}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.lake.{KeyCodec, LakeTable}
+import graft.merge.{MergeInto, MergeOptions}
+
+/**
+ * DataSourceV2 provider for graft lake tables: `spark.read.format("graft")
+ * .load(dir)`, SQL `CREATE TABLE t USING graft OPTIONS (path '…')` +
+ * `SELECT`/`INSERT INTO`, and `df.write.format("graft")` — the plain-SQL
+ * face of the engine, so a reference user's ad-hoc SQL over ratchet's MySQL
+ * sink tables (/root/reference/processors/sql_writer.go:21-80) has a direct
+ * equivalent over the lake.
+ *
+ * Read: a [[V1Scan]] whose relation is the table's resolved view
+ * ([[LakeTable.readAtIntersecting]]). Filter pushdown on the FIRST merge-key
+ * column translates to the same two-level manifest/file envelope pruning the
+ * merge path uses — a `conv_id = '…'` SELECT on a 10^6-file table parses
+ * only the manifests whose range covers that key and scans only their
+ * matching files. All filters are reported back as residual, so Spark
+ * re-applies them post-resolution: pruning is a subset guarantee, exactness
+ * comes from re-evaluation (no filter semantics are re-implemented here).
+ * Options: `versionAsOf` time-travels the scan.
+ *
+ * Write: `INSERT INTO` / append = one upsert epoch through [[MergeInto]]
+ * under the `"sql-writer"` checkpoint lineage, max-LSN-wins against rows
+ * already in the table — ratchet's ON-DUPLICATE-KEY load path expressed as
+ * a merge epoch. LSNs are auto-assigned above the table's current maximum
+ * (statement arrival order, like the reference's auto-increment context);
+ * deletes and explicit LSNs stay on the programmatic merge API.
+ */
+final class GraftDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+
+  private def dirOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null, "graft: OPTION path (the lake table directory) is required")
+    // the session catalog qualifies stored paths to file: URIs
+    if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+  }
+
+  private def versionOf(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("versionAsOf")).map(_.toLong)
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftSqlTable(dirOf(options), versionOf(options)).schema()
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    GraftSqlTable(dirOf(opts), versionOf(opts))
+  }
+}
+
+private[spark] final case class GraftSqlTable(dir: String, versionAsOf: Option[Long])
+    extends Table with SupportsRead with SupportsWrite {
+  private lazy val table = LakeTable.load(dir)
+  private def scanVersion: Long = versionAsOf.getOrElse(table.currentVersion)
+
+  override def name(): String = s"graft.`$dir`"
+
+  override def schema(): StructType = {
+    val stored = table.snapshot(scanVersion).schema
+    StructType(stored.fields.filterNot(f => LakeTable.MetaCols.contains(f.name)))
+  }
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    // BATCH_WRITE advertises writability to the planner; V1_BATCH_WRITE
+    // routes the physical write through the InsertableRelation fallback
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(table, scanVersion, schema())
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              require(!overwrite,
+                "graft: INSERT OVERWRITE is not supported; use the merge API")
+              require(versionAsOf.isEmpty,
+                "graft: cannot write to a versionAsOf time-travel table")
+              GraftSqlTable.upsert(table, data)
+            }
+          }
+      }
+    }
+}
+
+private[spark] object GraftSqlTable {
+  /** One SQL append = one merge epoch under the "sql-writer" checkpoint.
+    * Epoch ids continue that checkpoint's ledger; LSNs are assigned above
+    * the table's current max so the batch wins over existing rows. */
+  def upsert(table: LakeTable, data: DataFrame): Unit = synchronized {
+    val spark = data.sparkSession
+    val snap = table.currentSnapshot
+    val opts = MergeOptions(keyCols = snap.keyCols,
+      mode = graft.merge.MergeMode.Mor)
+    // ACCEPT_ANY_SCHEMA means Spark hands the query's own output columns
+    // through unresolved: `INSERT INTO … VALUES` arrives as col1..colN.
+    // No name overlap with the payload schema = positional statement — map
+    // to the payload fields in order; any overlap = by-name (evolution may
+    // add genuinely new columns alongside existing ones).
+    val payloadNames = snap.schema.fieldNames
+      .filterNot(LakeTable.MetaCols.contains).toSeq
+    val aligned =
+      if (data.columns.exists(payloadNames.contains)) data
+      else {
+        require(data.columns.length == payloadNames.length,
+          s"graft: positional INSERT has ${data.columns.length} columns; " +
+            s"table expects ${payloadNames.mkString(", ")}")
+        data.toDF(payloadNames: _*)
+      }
+    val lsnBase = (table.files(snap).map(_.maxLsn) :+ 0L).max + 1L
+    val epoch = snap.epochHwm.getOrElse("sql-writer", -1L) + 1L
+    val batch = aligned
+      .withColumn(opts.opCol, lit("U"))
+      .withColumn(opts.lsnCol, lit(lsnBase) + monotonically_increasing_id())
+    MergeInto.merge(spark, table, batch, "sql-writer", epoch, opts)
+    ()
+  }
+}
+
+private[spark] final class GraftScanBuilder(table: LakeTable, version: Long,
+    fullSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+  private var envelope: (Option[String], Option[String]) = (None, None)
+  private var used: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // empty projection (e.g. SELECT count(*)) still needs a row stream
+    required = if (requiredSchema.isEmpty) StructType(fullSchema.take(1))
+      else requiredSchema
+  }
+
+  /** Conjunctive filters on the FIRST merge-key column tighten the encoded
+    * key envelope used for manifest/file pruning. Everything is returned as
+    * residual — Spark re-applies the predicates on the resolved rows, so
+    * pruning can only ever drop files no envelope key lives in. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val k1 = table.snapshot(version).keyCols.head
+    val dt = fullSchema.fields.find(_.name == k1).map(_.dataType)
+    if (dt.exists(KeyCodec.supports)) {
+      val enc = (v: Any) => KeyCodec.encode(dt.get, v)
+      def max(a: Option[String], b: String) =
+        Some(a.filter(x => KeyCodec.compare(x, b) > 0).getOrElse(b))
+      def min(a: Option[String], b: String) =
+        Some(a.filter(x => KeyCodec.compare(x, b) < 0).getOrElse(b))
+      filters.foreach {
+        case f @ EqualTo(`k1`, v) if v != null =>
+          envelope = (max(envelope._1, enc(v)), min(envelope._2, enc(v)))
+          used :+= f
+        case f @ GreaterThan(`k1`, v) if v != null =>
+          envelope = (max(envelope._1, enc(v)), envelope._2); used :+= f
+        case f @ GreaterThanOrEqual(`k1`, v) if v != null =>
+          envelope = (max(envelope._1, enc(v)), envelope._2); used :+= f
+        case f @ LessThan(`k1`, v) if v != null =>
+          envelope = (envelope._1, min(envelope._2, enc(v))); used :+= f
+        case f @ LessThanOrEqual(`k1`, v) if v != null =>
+          envelope = (envelope._1, min(envelope._2, enc(v))); used :+= f
+        case f @ In(`k1`, vs) if vs.nonEmpty && vs.forall(_ != null) =>
+          val es = vs.map(enc)
+          envelope = (max(envelope._1, es.min(KeyCodec.ordering)),
+            min(envelope._2, es.max(KeyCodec.ordering)))
+          used :+= f
+        case _ => ()
+      }
+    }
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = used
+
+  override def build(): Scan = new V1Scan {
+    private val (lo, hi) = envelope
+    private val schema = required
+    override def readSchema(): StructType = schema
+    override def description(): String =
+      s"graft v$version envelope=[${lo.getOrElse("-inf")},${hi.getOrElse("+inf")}]"
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        ctx: SQLContext): T =
+      new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = ctx
+        override def schema: StructType = readSchema()
+        override def needConversion: Boolean = false
+        override def buildScan(): RDD[Row] = {
+          val spark = ctx.sparkSession
+          val df = table.readAtIntersecting(spark, version, lo, hi)
+            .select(readSchema().fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+          df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+        }
+      }.asInstanceOf[T]
+  }
+}
