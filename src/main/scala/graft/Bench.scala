@@ -39,6 +39,13 @@ import graft.stream.{CdcIngestJob, IngestConfig}
  */
 object Bench {
 
+  /** WAL shape used by the scaling runs — shared with [[BenchRep]] so a
+    * forked rep regenerates the identical parameters from nEvents alone. */
+  private[graft] def benchParams(nEvents: Long): GenParams =
+    GenParams(nEvents = nEvents, nConvs = (nEvents / 200).toInt.max(100),
+      // >= 4 epochs of 32 files each, so the WAL read parallelizes to 32-way
+      eventsPerFile = math.max(1L, nEvents / 128), maxLateEvents = 2000)
+
   private def base: String =
     if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
       "/dev/shm" else System.getProperty("java.io.tmpdir")
@@ -126,7 +133,7 @@ object Bench {
    * epoch — sustained throughput is a warm-path property. Calibration probes
    * run warm for the same reason (each probe's first run is discarded).
    */
-  private def ingestOnce(cores: Int, walDir: String, warmWalDir: String,
+  private[graft] def ingestOnce(cores: Int, walDir: String, warmWalDir: String,
       work: String, p: GenParams, rep: Int): (Double, Double, Double, Double) = {
     val spark = session(cores, Some(s"$work/local$cores-$rep"))
     try {
@@ -183,6 +190,51 @@ object Bench {
       val eps = p.nEvents.toDouble / ((System.nanoTime() - t0) / 1e9)
       (eps, cpuSec, bwSec, scanSec)
     } finally spark.stop()
+  }
+
+  /**
+   * One rep in a FRESH forked JVM (child main: [[BenchRep]]), replicating
+   * this JVM's own flags (add-opens, heap, GC) and classpath. Why: profiling
+   * showed the in-process rep loop ages the single sbt JVM — the fixed-work
+   * calibration probes (fresh SparkSession each, same JVM) degraded
+   * monotonically 0.41s -> 0.60s across a 12-minute run while an identical
+   * probe in a fresh process stayed flat, i.e. heap fragmentation + code-cache
+   * growth taxes later reps, not the host. One JVM per rep removes that bias
+   * and models the deployment reality (one spark-submit per job) the bench is
+   * meant to evidence. Default on; SPARK_GRAFT_BENCH_FORK=off reverts to
+   * in-process reps for quick tuning loops.
+   */
+  private def ingestForked(cores: Int, walDir: String, warmWalDir: String,
+      work: String, nEvents: Long, rep: Int): (Double, Double, Double, Double) = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+    // quiet the child's SparkContext-init INFO spew (setLogLevel only takes
+    // effect after session start) so per-rep stderr stays readable
+    val log4j = java.nio.file.Paths.get(work, "log4j2-quiet.properties")
+    if (!java.nio.file.Files.exists(log4j))
+      java.nio.file.Files.write(log4j,
+        ("rootLogger.level = error\nrootLogger.appenderRef.stderr.ref = stderr\n" +
+          "appender.stderr.type = Console\nappender.stderr.name = stderr\n" +
+          "appender.stderr.target = SYSTEM_ERR\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val cmd = Seq(javaBin) ++ jvmArgs ++
+      Seq(s"-Dlog4j2.configurationFile=$log4j",
+        "-cp", System.getProperty("java.class.path"), "graft.BenchRep",
+        cores.toString, walDir, warmWalDir, work, nEvents.toString, rep.toString)
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.redirectErrorStream(false)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val rc = proc.waitFor()
+    val marker = out.linesIterator.find(_.startsWith("BENCHREP "))
+    require(rc == 0 && marker.isDefined,
+      s"forked rep failed (rc=$rc): ${out.takeRight(500)}")
+    val f = marker.get.split("\\s+")
+    (f(1).toDouble, f(2).toDouble, f(3).toDouble, f(4).toDouble)
   }
 
   /** Content signature of the expected final state vs both widths' tables —
@@ -257,9 +309,7 @@ object Bench {
     // --- part 2: scaling — same WAL ingested at N and 4N cores -------------
     val work = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get(base), "graft-bench").toString
-    val p = GenParams(nEvents = nEvents, nConvs = (nEvents / 200).toInt.max(100),
-      // >= 4 epochs of 32 files each, so the WAL read parallelizes to 32-way
-      eventsPerFile = math.max(1L, nEvents / 128), maxLateEvents = 2000)
+    val p = benchParams(nEvents)
     ChangelogGen.writeWal(spark, p, s"$work/wal")
     // miniature same-shape WAL for per-session codegen warmup
     // 1M-event warmup (was 200k): C2 JIT of the parquet-decode and
@@ -299,10 +349,14 @@ object Bench {
       def cleanupRep(c: Int, i: Int): Unit =
         Seq(s"table$c-$i", s"ckpt$c-$i", s"warmtable$c-$i", s"warmckpt$c-$i",
           s"local$c-$i").foreach(d => rmTree(new java.io.File(s"$work/$d")))
+      val forkReps = !sys.env.get("SPARK_GRAFT_BENCH_FORK").contains("off")
       def runOne(cores: Int, tag: String): (Double, Double, Double, Double) = {
         val i = repIdx(cores) + 1
         repIdx(cores) = i
-        val r = ingestOnce(cores, s"$work/wal", s"$work/walwarm", work, p, i)
+        val r =
+          if (forkReps)
+            ingestForked(cores, s"$work/wal", s"$work/walwarm", work, nEvents, i)
+          else ingestOnce(cores, s"$work/wal", s"$work/walwarm", work, p, i)
         // keep tmpfs flat: only the LAST rep per width feeds the verification
         // gate; stale rep state would otherwise grow the resident set ~5 GiB
         // per rep and squeeze the page cache the wide runs depend on
@@ -390,5 +444,24 @@ object Bench {
       if (c != null) c.foreach(rmTree)
     }
     f.delete(); ()
+  }
+}
+
+/**
+ * Child main for one forked bench rep (see [[Bench]] `ingestForked`): runs a
+ * single [[Bench.ingestOnce]] at one width in this fresh JVM and prints ONE
+ * machine-readable line to stdout: `BENCHREP <eps> <cpuSec> <bwSec> <scanSec>`.
+ * Everything else (Spark logs, per-epoch noise) rides stderr, which the
+ * parent inherits.
+ */
+object BenchRep {
+  def main(args: Array[String]): Unit = {
+    val Array(cores, walDir, warmWalDir, work, nEvents, rep) = args
+    val (eps, cpu, bw, scan) = Bench.ingestOnce(cores.toInt, walDir, warmWalDir,
+      work, Bench.benchParams(nEvents.toLong), rep.toInt)
+    println(f"BENCHREP $eps%.3f $cpu%.4f $bw%.4f $scan%.4f")
+    // Spark's local-mode non-daemon threads would otherwise keep the JVM
+    // alive after main returns; the session is already stopped by ingestOnce.
+    System.exit(0)
   }
 }
