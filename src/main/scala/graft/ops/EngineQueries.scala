@@ -140,6 +140,52 @@ object EngineQueries {
   }
 
   /**
+   * Streaming CDC-out e2e: the same 3-epoch upstream changelog as
+   * [[changeFeedE2E]], but the feed is consumed through the idiomatic-Spark
+   * face — `spark.readStream.format("graft")` ([[graft.spark.GraftStreamSource]])
+   * into a parquet sink under `Trigger.AvailableNow` — and the streamed
+   * change rows are folded (max-lsn per key, tombstones dropped) to the
+   * final state. Verifies the whole streaming chain against the same
+   * closed-form DuckDB oracle as the cursor-based feed.
+   */
+  def changeStreamE2E(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val work = Scratch.dir("graft-cstream")
+    val payload = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("text", StringType)))
+    val up = LakeTable.create(s"$work/up", payload, keyCols = Seq("doc_id"))
+    val opts = MergeOptions(keyCols = Seq("doc_id"),
+      mode = graft.merge.MergeMode.Mor)
+    val ins = docs.select(lit("I").as("op"), (col("doc_id") * 4).as("lsn"),
+      col("doc_id"), col("lang"), col("source"), col("text"))
+    val upd = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(lit("U").as("op"), (col("doc_id") * 4 + 1).as("lsn"),
+        col("doc_id"), lit("xx").as("lang"), col("source"),
+        concat(lit("u1:"), col("text")).as("text"))
+    val dels = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select(lit("D").as("op"), (col("doc_id") * 4 + 2).as("lsn"),
+        col("doc_id"), lit(null).cast(StringType).as("lang"),
+        lit(null).cast(StringType).as("source"),
+        lit(null).cast(StringType).as("text"))
+    MergeInto.merge(s, up, ins, "cstream-up", 0L, opts)
+    MergeInto.merge(s, up, upd, "cstream-up", 1L, opts)
+    MergeInto.merge(s, up, dels, "cstream-up", 2L, opts)
+    val q = s.readStream.format("graft").load(s"$work/up")
+      .writeStream.format("parquet").option("path", s"$work/sink")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = s.read.parquet(s"$work/sink")
+    MergeInto.resolveMaxLsn(streamed, Seq("doc_id"), saltBuckets = 1)
+      .filter(!col(LakeTable.DeletedCol))
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+  }
+
+  /**
    * DataSourceV2 e2e: a lake table seeded through the merge API, upserted
    * again through the PLAIN-SQL face (`df.write.format("graft")` append =
    * one auto-LSN merge epoch), then read back through
@@ -168,6 +214,7 @@ object EngineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_ingest_e2e" -> ((s, dir) => cdcIngestE2E(s, paramsFor(dir))),
     "q_change_feed_e2e" -> ((s, dir) => changeFeedE2E(s, dir)),
+    "q_change_stream_e2e" -> ((s, dir) => changeStreamE2E(s, dir)),
     "q_dsv2_sql" -> ((s, dir) => dsv2E2E(s, dir)),
     "q_cdc_stream_e2e" -> ((s, dir) =>
       cdcStreamE2E(s, paramsFor(dir).copy(nEvents = 20000L, eventsPerFile = 2500L,
@@ -198,10 +245,14 @@ object EngineQueries {
            CASE WHEN doc_id % 5 = 0 THEN 'sql:' || text ELSE text END AS text
          FROM documents WHERE doc_id < 300""",
     // closed form of the 3-epoch changelog as seen THROUGH the change feed
-    "q_change_feed_e2e" ->
-      """SELECT doc_id,
-           CASE WHEN doc_id % 3 = 0 THEN 'xx' ELSE lang END AS lang,
-           source,
-           CASE WHEN doc_id % 3 = 0 THEN 'u1:' || text ELSE text END AS text
-         FROM documents WHERE doc_id % 7 <> 0""")
+    // (one definition for both consumption faces — cursor and readStream)
+    "q_change_feed_e2e" -> changeFeedOracle,
+    "q_change_stream_e2e" -> changeFeedOracle)
+
+  private lazy val changeFeedOracle =
+    """SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'xx' ELSE lang END AS lang,
+         source,
+         CASE WHEN doc_id % 3 = 0 THEN 'u1:' || text ELSE text END AS text
+       FROM documents WHERE doc_id % 7 <> 0"""
 }

@@ -42,9 +42,54 @@ import graft.merge.{MergeInto, MergeOptions}
  * a merge epoch. LSNs are auto-assigned above the table's current maximum
  * (statement arrival order, like the reference's auto-increment context);
  * deletes and explicit LSNs stay on the programmatic merge API.
+ *
+ * Streaming read: `spark.readStream.format("graft").load(dir)` tails the
+ * table's CDC-out feed ([[GraftStreamSource]]). The provider's table does not
+ * advertise MICRO_BATCH_READ, so the planner falls back to this V1
+ * [[StreamSourceProvider]] — the same V1-fallback family as the batch
+ * [[V1Scan]], keeping every physical read on the lake's own resolved plans.
  */
-final class GraftDataSource extends TableProvider with DataSourceRegister {
+final class GraftDataSource extends TableProvider with DataSourceRegister
+    with StreamSourceProvider {
   override def shortName(): String = "graft"
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    val dir = pathOf(parameters)
+    (s"graft-changes[$dir]", GraftStreamSource.changeSchema(LakeTable.load(dir)))
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val dir = pathOf(parameters)
+    // Pin the resolved starting version in the checkpoint's source-metadata
+    // dir on FIRST start: `startingVersion=latest` must mean the head at
+    // stream definition, and a restart whose earlier runs committed no
+    // batches (offset log empty) must NOT re-resolve "latest" and skip the
+    // commits that landed in between.
+    val starting = {
+      val p = new org.apache.hadoop.fs.Path(metadataPath, "graft-starting-version")
+      val fs = p.getFileSystem(ctx.sparkSession.sessionState.newHadoopConf())
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      } else {
+        val v = GraftStreamSource.resolveStartingVersion(LakeTable.load(dir), parameters)
+        val out = fs.create(p, false)
+        try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+        v
+      }
+    }
+    new GraftStreamSource(ctx, dir, starting)
+  }
+
+  private def pathOf(parameters: Map[String, String]): String = {
+    val p = parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
+    require(p.isDefined, "graft: OPTION path (the lake table directory) is required")
+    if (p.get.startsWith("file:")) new java.net.URI(p.get).getPath else p.get
+  }
 
   private def dirOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
