@@ -146,11 +146,28 @@ object Bench {
       // 16M rows x ~60B ~ 1 GB, comfortable at the bench heap.
       val trigger = math.max(1, math.min(p.nFiles,
         (16000000L / math.max(1L, p.eventsPerFile)).toInt))
-      // codegen + JIT warmup through the identical pipeline
-      CdcIngestJob.start(spark,
-        IngestConfig(warmWalDir, s"$work/warmtable$cores-$rep",
-          s"$work/warmckpt$cores-$rep"),
-        org.apache.spark.sql.streaming.Trigger.AvailableNow()).awaitTermination()
+      // codegen + JIT warmup through the identical pipeline. Forked reps
+      // (one JVM per rep) surfaced that ONE 1M-event pass under-warms: the
+      // first post-warm ingest still runs 1.3-1.5x slower than a JVM that
+      // has already ingested once, and the deficit is a fixed per-JVM cost —
+      // proportionally larger inside the SHORT wide-width window than the
+      // long narrow one, i.e. it systematically UNDERSTATES raw scaling.
+      // Repeated warm passes (fresh scratch table each, same WAL) retire
+      // that cost before the timed window; round count env-tunable.
+      val warmRounds =
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_ROUNDS", "3").toInt
+      (1 to warmRounds).foreach { w =>
+        CdcIngestJob.start(spark,
+          IngestConfig(warmWalDir, s"$work/warmtable$cores-$rep-$w",
+            s"$work/warmckpt$cores-$rep-$w"),
+          org.apache.spark.sql.streaming.Trigger.AvailableNow()).awaitTermination()
+        // the warm ingest's trigger-fired fold runs async (IngestConfig
+        // default) — drain it so warm-table maintenance never bleeds into
+        // the next round, the calibration probes, or the timed window
+        graft.merge.MergeInto.awaitMaintenance()
+        Seq(s"warmtable$cores-$rep-$w", s"warmckpt$cores-$rep-$w")
+          .foreach(d => rmTree(new java.io.File(s"$work/$d")))
+      }
       // calibration on the still-clean session heap, warm (first runs
       // discarded), BEFORE the timed ingest — see bwRun
       cpuRun(spark, cores)
@@ -178,6 +195,16 @@ object Bench {
           maxFilesPerTrigger = Some(trigger)),
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       q.awaitTermination()
+      // foldAsync (the streaming default) means the last epoch's ratio
+      // trigger submits a fold that may still be RUNNING here; without this
+      // barrier the explicit fold below raced it — two concurrent full-table
+      // folds (duplicated read+rewrite + a rebase retry) charged to the
+      // window, ~15% noisier and slower than the single fold the window is
+      // specified to charge. Draining is the honest accounting: the async
+      // fold is real work this ingest triggered, and the explicit fold then
+      // no-ops (or folds only the residue), keeping total fold work at
+      // exactly one full-volume rewrite.
+      graft.merge.MergeInto.awaitMaintenance()
       // Explicit collection BETWEEN stream and fold, INSIDE the timed window
       // (it is real cost, ~0.2-0.7s): the fold otherwise starts on a heap
       // holding the whole ingest's garbage, and G1's evacuation pauses under
