@@ -403,12 +403,17 @@ object Bench {
       def extend(cores: Int): Unit = {
         var best = ingestRuns(cores).map(_._1).max
         var extras = 0
-        var improving = true
-        while (improving && extras < maxExtra) {
+        var sinceImprove = 0
+        // stop after TWO consecutive non-improving extras, not one: host
+        // quiet windows flash on ~minute timescales, so a single noisy
+        // extra rep would otherwise end the hunt one minute early. Still
+        // outcome-blind (looks only at this width's own estimate, never the
+        // ratio) and symmetric across widths.
+        while (sinceImprove < 2 && extras < maxExtra) {
           val r = runOne(cores, "ext")
           extras += 1
-          improving = r._1 > best * 1.02
-          if (improving) best = r._1
+          if (r._1 > best * 1.02) { best = r._1; sinceImprove = 0 }
+          else sinceImprove += 1
         }
       }
       if (maxExtra > 0) { extend(coresLo); extend(cpus) }
