@@ -464,7 +464,7 @@ object Bench {
         if (results.exists(_._3.isDefined)) -1.0
         else results.map(_._2).sum
       println(
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_errors":$errs,"sf":"$sfDir","ingest":{"events":$nEvents,"cores_lo":$coresLo,"events_per_sec_lo":$epsLo%.0f,"cores_hi":$cpus,"events_per_sec_hi":$epsHi%.0f,"scaling_efficiency":$eff%.3f,"cpu_calib_efficiency":$cpuEff%.3f,"bw_calib_efficiency":$bwEff%.3f,"scan_calib_efficiency":$scanEff%.3f,"scaling_efficiency_hw_normalized":$effNorm%.3f,"verified_lo":$verifiedLo,"verified_hi":$verifiedHi,"final_state_verified":${verifiedLo && verifiedHi}}}""")
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_errors":$errs,"sf":"$sfDir","ingest":{"events":$nEvents,"cores_lo":$coresLo,"events_per_sec_lo":$epsLo%.0f,"events_per_sec_per_core_lo":${epsLo / coresLo}%.0f,"cores_hi":$cpus,"events_per_sec_hi":$epsHi%.0f,"events_per_sec_per_core_hi":${epsHi / cpus}%.0f,"scaling_efficiency":$eff%.3f,"cpu_calib_efficiency":$cpuEff%.3f,"bw_calib_efficiency":$bwEff%.3f,"scan_calib_efficiency":$scanEff%.3f,"scaling_efficiency_hw_normalized":$effNorm%.3f,"verified_lo":$verifiedLo,"verified_hi":$verifiedHi,"final_state_verified":${verifiedLo && verifiedHi}}}""")
     } finally {
       rmTree(new java.io.File(work))
     }

@@ -85,6 +85,39 @@ class ChangeFeedSpec extends AnyFunSuite {
       ex.getMessage)
   }
 
+  test("schema evolution propagates through the feed: added column reaches downstream") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val work = TestSpark.tmpDir("changefeed-evo")
+    val up = s"$work/up"
+    LakeTable.create(up, Schemas.turn)
+    val table = LakeTable.load(up)
+    MergeInto.merge(spark, table,
+      batch(Seq(("I", 1L, "a", "t1"), ("I", 2L, "b", "t2"))), "up", 0L, mor)
+
+    val cfg = ChangeFeed.Config(up, s"$work/down", s"$work/cursor")
+    assert(ChangeFeed.catchUp(spark, cfg) >= 1)
+    assert(!LakeTable.load(s"$work/down").payloadSchema.fieldNames
+      .contains("tool_meta"))
+
+    // the upstream widens (era-1 tool_meta column) in a LATER epoch — the
+    // change feed straddles the boundary, and the downstream table must
+    // widen through the same merge-time schema-evolution path the ingest
+    // uses, with pre-evolution keys reading null for the new column
+    MergeInto.merge(spark, table,
+      batch(Seq(("U", 10L, "a", "t1v2"))).withColumn("tool_meta", lit("m1")),
+      "up", 1L, mor)
+    assert(ChangeFeed.catchUp(spark, cfg) >= 1)
+
+    val down = LakeTable.load(s"$work/down")
+    assert(down.payloadSchema.fieldNames.contains("tool_meta"))
+    val rows = down.read(spark)
+      .select(col("conv_id"), col("text"), col("tool_meta"))
+      .collect().map(r => (r.getString(0), r.getString(1), Option(r.getString(2))))
+      .toSet
+    assert(rows == Set(("a", "t1v2", Some("m1")), ("b", "t2", None)))
+    assert(state(s"$work/down") == state(up))
+  }
+
   test("bootstrap carries tombstones: a late lower-lsn event cannot resurrect downstream") {
     val work = TestSpark.tmpDir("changefeed-boot")
     val up = s"$work/up"
