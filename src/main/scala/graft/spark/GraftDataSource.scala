@@ -12,6 +12,7 @@ import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownF
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{lit, monotonically_increasing_id}
 import org.apache.spark.sql.sources._
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -48,10 +49,46 @@ import graft.merge.{MergeInto, MergeOptions}
  * advertise MICRO_BATCH_READ, so the planner falls back to this V1
  * [[StreamSourceProvider]] — the same V1-fallback family as the batch
  * [[V1Scan]], keeping every physical read on the lake's own resolved plans.
+ *
+ * Streaming write: `df.writeStream.format("graft").option("path", dir)`
+ * merges each micro-batch as one idempotent epoch ([[GraftStreamSink]]) —
+ * readStream + writeStream over the same format chain pipelines end to end.
  */
 final class GraftDataSource extends TableProvider with DataSourceRegister
-    with StreamSourceProvider {
+    with StreamSourceProvider with StreamSinkProvider {
   override def shortName(): String = "graft"
+
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft sink: partitionBy is not supported — files are range-placed " +
+        "and key-sorted by the merge itself")
+    require(outputMode != OutputMode.Complete(),
+      "graft sink: Complete output mode is not supported; Append/Update " +
+        "rows upsert by merge key")
+    val dir = pathOf(parameters)
+    def opt(k: String): Option[String] =
+      parameters.collectFirst { case (n, v) if n.equalsIgnoreCase(k) => v }
+    // ckptId anchors the exactly-once ledger; derived from the stream's own
+    // checkpoint so epoch ids and the ledger share one lifetime
+    val ckptId = opt("ckptId")
+      .orElse(opt("checkpointLocation")
+        .map(c => "sink-" + graft.stream.CdcIngestJob.ckptId(c)))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft sink: a checkpointLocation (or explicit ckptId option) is required"))
+    val mode = opt("mode").getOrElse("mor") match {
+      case m if m.equalsIgnoreCase("mor") => graft.merge.MergeMode.Mor
+      case m if m.equalsIgnoreCase("cow") => graft.merge.MergeMode.Cow
+      case m => throw new IllegalArgumentException(
+        s"graft sink: unknown mode '$m' (use mor or cow)")
+    }
+    val opts = MergeOptions(mode = mode)
+    val keyCols = opt("keyCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(opts.keyCols)
+    new GraftStreamSink(dir, ckptId, opts, keyCols)
+  }
 
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
@@ -119,6 +156,12 @@ private[spark] final case class GraftSqlTable(dir: String, versionAsOf: Option[L
   override def name(): String = s"graft.`$dir`"
 
   override def schema(): StructType = {
+    // A missing table reports an empty schema instead of throwing: the
+    // planner probes the V2 table (inferSchema) BEFORE falling back to the
+    // V1 streaming sink, and that sink creates the table on first commit.
+    // Batch read/write of a missing table still fails with the lake's named
+    // error — both paths force the lazy load before touching data.
+    if (!LakeTable.exists(dir)) return new StructType()
     val stored = table.snapshot(scanVersion).schema
     StructType(stored.fields.filterNot(f => LakeTable.MetaCols.contains(f.name)))
   }

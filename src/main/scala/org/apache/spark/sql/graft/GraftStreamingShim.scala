@@ -19,4 +19,14 @@ object GraftStreamingShim {
     cdf.sparkSession.internalCreateDataFrame(
       cdf.queryExecution.toRdd, cdf.schema, isStreaming = true)
   }
+
+  /** The inverse stamp, for a V1 `Sink.addBatch`: re-plan the incremental
+    * micro-batch frame as an ordinary batch DataFrame so a multi-job
+    * consumer (the merge runs stats + resolve + write) may execute it more
+    * than once — a streaming-tagged plan is single-execution by contract. */
+  def asBatch(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    cdf.sparkSession.internalCreateDataFrame(
+      cdf.queryExecution.toRdd, cdf.schema, isStreaming = false)
+  }
 }
