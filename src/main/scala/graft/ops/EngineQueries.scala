@@ -107,11 +107,23 @@ object EngineQueries {
    * per-version change-file resolution, and feed application.
    */
   def changeFeedE2E(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
     import graft.stream.ChangeFeed
+    val work = Scratch.dir("graft-feed")
+    seedChangeUpstream(s, dir, work, "feed-up")
+    val cfg = ChangeFeed.Config(s"$work/up", s"$work/down", s"$work/cursor")
+    ChangeFeed.catchUp(s, cfg)
+    LakeTable.load(s"$work/down").read(s)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+  }
+
+  /** The shared 3-epoch upstream changelog (inserts, %3 full-row updates,
+    * %7 deletes over `documents`) behind every CDC-out consumption face —
+    * one construction, one closed-form oracle. Returns the upstream dir. */
+  private def seedChangeUpstream(s: SparkSession, dir: String, work: String,
+      ckptId: String): String = {
+    import org.apache.spark.sql.types._
     val docs = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
-    val work = Scratch.dir("graft-feed")
     val payload = StructType(Seq(StructField("doc_id", LongType),
       StructField("lang", StringType), StructField("source", StringType),
       StructField("text", StringType)))
@@ -130,13 +142,10 @@ object EngineQueries {
         col("doc_id"), lit(null).cast(StringType).as("lang"),
         lit(null).cast(StringType).as("source"),
         lit(null).cast(StringType).as("text"))
-    MergeInto.merge(s, up, ins, "feed-up", 0L, opts)
-    MergeInto.merge(s, up, upd, "feed-up", 1L, opts)
-    MergeInto.merge(s, up, dels, "feed-up", 2L, opts)
-    val cfg = ChangeFeed.Config(s"$work/up", s"$work/down", s"$work/cursor")
-    ChangeFeed.catchUp(s, cfg)
-    LakeTable.load(s"$work/down").read(s)
-      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    MergeInto.merge(s, up, ins, ckptId, 0L, opts)
+    MergeInto.merge(s, up, upd, ckptId, 1L, opts)
+    MergeInto.merge(s, up, dels, ckptId, 2L, opts)
+    s"$work/up"
   }
 
   /**
@@ -150,31 +159,9 @@ object EngineQueries {
    */
   def changeStreamE2E(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    import org.apache.spark.sql.types._
-    val docs = s.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("lang"), col("source"), col("text"))
     val work = Scratch.dir("graft-cstream")
-    val payload = StructType(Seq(StructField("doc_id", LongType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("text", StringType)))
-    val up = LakeTable.create(s"$work/up", payload, keyCols = Seq("doc_id"))
-    val opts = MergeOptions(keyCols = Seq("doc_id"),
-      mode = graft.merge.MergeMode.Mor)
-    val ins = docs.select(lit("I").as("op"), (col("doc_id") * 4).as("lsn"),
-      col("doc_id"), col("lang"), col("source"), col("text"))
-    val upd = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
-      .select(lit("U").as("op"), (col("doc_id") * 4 + 1).as("lsn"),
-        col("doc_id"), lit("xx").as("lang"), col("source"),
-        concat(lit("u1:"), col("text")).as("text"))
-    val dels = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
-      .select(lit("D").as("op"), (col("doc_id") * 4 + 2).as("lsn"),
-        col("doc_id"), lit(null).cast(StringType).as("lang"),
-        lit(null).cast(StringType).as("source"),
-        lit(null).cast(StringType).as("text"))
-    MergeInto.merge(s, up, ins, "cstream-up", 0L, opts)
-    MergeInto.merge(s, up, upd, "cstream-up", 1L, opts)
-    MergeInto.merge(s, up, dels, "cstream-up", 2L, opts)
-    val q = s.readStream.format("graft").load(s"$work/up")
+    val up = seedChangeUpstream(s, dir, work, "cstream-up")
+    val q = s.readStream.format("graft").load(up)
       .writeStream.format("parquet").option("path", s"$work/sink")
       .option("checkpointLocation", s"$work/ckpt")
       .trigger(Trigger.AvailableNow()).start()
@@ -182,6 +169,30 @@ object EngineQueries {
     val streamed = s.read.parquet(s"$work/sink")
     MergeInto.resolveMaxLsn(streamed, Seq("doc_id"), saltBuckets = 1)
       .filter(!col(LakeTable.DeletedCol))
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+  }
+
+  /**
+   * Streaming-sink e2e: the same 3-epoch upstream changelog, consumed
+   * through the full writeStream face — `readStream.format("graft")` piped
+   * directly into `writeStream.format("graft")`
+   * ([[graft.spark.GraftStreamSink]]), each micro-batch one idempotent merge
+   * epoch into a DOWNSTREAM lake table it creates on first commit. The
+   * returned frame is the downstream table's resolved state, so the shared
+   * closed-form oracle verifies source, sink, and the tombstone carry
+   * in between with zero user glue code.
+   */
+  def sinkStreamE2E(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = Scratch.dir("graft-sstream")
+    val up = seedChangeUpstream(s, dir, work, "sstream-up")
+    val q = s.readStream.format("graft").load(up)
+      .writeStream.format("graft").option("path", s"$work/down")
+      .option("keyCols", "doc_id")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    LakeTable.load(s"$work/down").read(s)
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
   }
 
@@ -215,6 +226,7 @@ object EngineQueries {
     "q_cdc_ingest_e2e" -> ((s, dir) => cdcIngestE2E(s, paramsFor(dir))),
     "q_change_feed_e2e" -> ((s, dir) => changeFeedE2E(s, dir)),
     "q_change_stream_e2e" -> ((s, dir) => changeStreamE2E(s, dir)),
+    "q_sink_stream_e2e" -> ((s, dir) => sinkStreamE2E(s, dir)),
     "q_dsv2_sql" -> ((s, dir) => dsv2E2E(s, dir)),
     "q_cdc_stream_e2e" -> ((s, dir) =>
       cdcStreamE2E(s, paramsFor(dir).copy(nEvents = 20000L, eventsPerFile = 2500L,
@@ -247,7 +259,8 @@ object EngineQueries {
     // closed form of the 3-epoch changelog as seen THROUGH the change feed
     // (one definition for both consumption faces — cursor and readStream)
     "q_change_feed_e2e" -> changeFeedOracle,
-    "q_change_stream_e2e" -> changeFeedOracle)
+    "q_change_stream_e2e" -> changeFeedOracle,
+    "q_sink_stream_e2e" -> changeFeedOracle)
 
   private lazy val changeFeedOracle =
     """SELECT doc_id,
