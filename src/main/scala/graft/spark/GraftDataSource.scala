@@ -119,7 +119,10 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
         v
       }
     }
-    new GraftStreamSource(ctx, dir, starting)
+    val maxVersions = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("maxVersionsPerBatch") => v.toLong
+    }
+    new GraftStreamSource(ctx, dir, starting, maxVersions)
   }
 
   private def pathOf(parameters: Map[String, String]): String = {

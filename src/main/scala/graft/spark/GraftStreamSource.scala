@@ -2,6 +2,7 @@ package graft.spark
 
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.connector.read.{streaming => v2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions.{coalesce, col, lit}
@@ -40,17 +41,55 @@ import graft.lake.LakeTable
  *
  * Defined for row-lsn (non-sparse) MoR tables, same contract as ChangeFeed:
  * sparse deltas carry per-column provenance a row changelog cannot express.
+ *
+ * Admission control: `maxVersionsPerBatch` caps how many upstream versions
+ * one micro-batch consumes, so a consumer catching up over 10^4 versions
+ * processes (and checkpoints) in bounded chunks instead of one giant batch
+ * — the backpressure knob of the reference's channel buffering
+ * (/root/reference/pipeline.go:23). `Trigger.AvailableNow` is supported
+ * properly ([[v2.SupportsTriggerAvailableNow]], the same combination as
+ * Spark's own file source): the head version is pinned when the trigger
+ * fires, every version at or below it is processed across however many
+ * admission-limited batches that takes, and the query then stops.
  */
 final class GraftStreamSource(sqlContext: SQLContext, dir: String,
-    startingVersion: Long) extends Source with Logging {
+    startingVersion: Long, maxVersionsPerBatch: Option[Long] = None)
+    extends Source with v2.SupportsTriggerAvailableNow with Logging {
 
   private val table = LakeTable.load(dir)
   require(!table.currentSnapshot.sparse,
     "graft streaming source is defined for row-lsn (non-sparse) tables")
+  maxVersionsPerBatch.foreach(m => require(m > 0,
+    s"maxVersionsPerBatch must be positive, got $m"))
 
   override val schema: StructType = GraftStreamSource.changeSchema(table)
 
-  /** Live head probe — `currentVersion` discovers other writers' commits. */
+  /** Upstream head pinned at AvailableNow trigger time — versions committed
+    * after the trigger fired are for the NEXT run. */
+  @volatile private var availableNowHead: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowHead = Some(table.currentVersion)
+    logInfo(s"graft stream: AvailableNow pinned at v${availableNowHead.get}")
+  }
+
+  override def getDefaultReadLimit: v2.ReadLimit = v2.ReadLimit.allAvailable()
+
+  /** Live head probe (`currentVersion` discovers other writers' commits),
+    * capped by the AvailableNow pin and the per-batch version budget. An
+    * unchanged offset (or null before the first) means no new data. */
+  override def latestOffset(start: v2.Offset, limit: v2.ReadLimit): v2.Offset = {
+    val from = Option(start).map(GraftStreamSource.versionOf)
+      .getOrElse(startingVersion)
+    val head = availableNowHead.getOrElse(table.currentVersion)
+    val end = maxVersionsPerBatch.map(m => math.min(head, from + m)).getOrElse(head)
+    if (end > from) LongOffset(end) else start
+  }
+
+  override def reportLatestOffset(): v2.Offset = LongOffset(table.currentVersion)
+
+  /** Legacy probe — the engine prefers [[latestOffset]] on sources with
+    * admission control; kept for direct callers. */
   override def getOffset: Option[Offset] = {
     val head = table.currentVersion
     if (head > startingVersion) Some(LongOffset(head)) else None
@@ -81,7 +120,7 @@ object GraftStreamSource {
       StructField(LakeTable.DeletedCol, BooleanType, nullable = false)))
 
   /** The engine replays restored offsets as [[SerializedOffset]] JSON. */
-  def versionOf(offset: Offset): Long = offset match {
+  def versionOf(offset: v2.Offset): Long = offset match {
     case LongOffset(v) => v
     case SerializedOffset(json) => json.trim.toLong
     case other => other.json.trim.toLong

@@ -85,6 +85,32 @@ class GraftStreamSourceSpec extends AnyFunSuite {
       "maintenance commits must not re-deliver rows")
   }
 
+  test("maxVersionsPerBatch paces catch-up; AvailableNow drains the pinned head in chunks") {
+    val work = TestSpark.tmpDir("gss-adm")
+    val up = s"$work/up"
+    LakeTable.create(up, Schemas.turn)
+    val table = LakeTable.load(up)
+    MergeInto.merge(spark, table,
+      batch(Seq(("I", 1L, "a", "a0"), ("I", 2L, "b", "b0"))), "up", 0L, mor)
+    MergeInto.merge(spark, table,
+      batch(Seq(("U", 10L, "a", "a1"))), "up", 1L, mor)
+    MergeInto.merge(spark, table,
+      batch(Seq(("D", 20L, "b", null), ("I", 21L, "c", "c0"))), "up", 2L, mor)
+
+    drain(up, s"$work/ckpt", s"$work/sink",
+      Map("maxVersionsPerBatch" -> "1"))
+    assert(canon(spark.read.parquet(s"$work/sink")) ==
+      canon(table.readChangesSince(spark, 0L)),
+      "paced catch-up must still deliver the complete feed")
+    // one micro-batch per upstream version: the offset log proves the
+    // admission limit actually chunked the drain (the old fallback path
+    // processed everything as a single batch)
+    val offsetLog = new java.io.File(s"$work/ckpt/offsets").listFiles
+      .count(f => f.getName.forall(_.isDigit))
+    assert(offsetLog >= 3, s"expected >=3 admission-limited batches, " +
+      s"offset log has $offsetLog entries")
+  }
+
   test("startingVersion=latest tails only new commits; retention error is named") {
     val work = TestSpark.tmpDir("gss-start")
     val up = s"$work/up"
