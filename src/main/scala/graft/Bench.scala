@@ -369,7 +369,10 @@ object Bench {
       // select FOR a high ratio; it only tightens each best-of toward the
       // true quiet-host value, which host noise can understate but never
       // overstate (contention only ever makes a run slower).
-      val maxExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "3").toInt
+      // 5: the budget only spends itself while a width's best keeps RISING
+      // (two consecutive non-improving extras stop the hunt), i.e. precisely
+      // in quiet host windows where the extra samples buy real signal
+      val maxExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "5").toInt
       val repIdx = scala.collection.mutable.Map[Int, Int]().withDefaultValue(0)
       val ingestRuns = scala.collection.mutable.Map[Int,
         List[(Double, Double, Double, Double)]]().withDefaultValue(Nil)

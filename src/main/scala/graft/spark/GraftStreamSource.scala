@@ -100,6 +100,18 @@ final class GraftStreamSource(sqlContext: SQLContext, dir: String,
     val until = GraftStreamSource.versionOf(end)
     logInfo(s"graft stream batch: $dir versions ($from, $until]")
     val changes = table.readChangesBetween(sqlContext.sparkSession, from, until)
+    // A streaming query's schema is pinned at start; silently projecting a
+    // mid-run upstream widening away would deliver rows MISSING the new
+    // column's values — permanently, since committed offsets are never
+    // re-read. Fail loudly instead: this batch is uncommitted, so a restart
+    // re-reads it under the widened schema and no change is lost.
+    val extra = changes.columns.filterNot(schema.fieldNames.contains)
+    if (extra.nonEmpty)
+      throw new IllegalStateException(
+        s"graft stream: upstream schema evolved (new columns " +
+          s"${extra.mkString(", ")}) after this stream started; restart the " +
+          "query from its checkpoint to pick up the widened schema — no " +
+          "changes are lost, the restart re-reads from the last committed offset")
     val projected = changes.select(schema.fieldNames.toSeq.map {
       case LakeTable.DeletedCol =>
         coalesce(col(LakeTable.DeletedCol), lit(false)).as(LakeTable.DeletedCol)

@@ -137,6 +137,59 @@ class GraftStreamSinkSpec extends AnyFunSuite {
       "later batch must win for the shared key (lsns assigned above table max)")
   }
 
+  test("mid-run upstream widening: named error, restart converges with the new column") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.streaming.StreamingQueryException
+    val work = TestSpark.tmpDir("gsink-evo")
+    val up = s"$work/up"
+    LakeTable.create(up, Schemas.turn)
+    val table = LakeTable.load(up)
+    MergeInto.merge(spark, table,
+      batch(Seq(("I", 1L, "a", "a0"), ("I", 2L, "b", "b0"))), "up", 0L, mor)
+
+    // a LONG-RUNNING chain (not AvailableNow — restarts would re-pin the
+    // schema and mask the mid-run case)
+    val q = spark.readStream.format("graft").load(up)
+      .writeStream.format("graft").option("path", s"$work/down")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    val deadline = System.nanoTime + 30_000_000_000L
+    while (!(LakeTable.exists(s"$work/down") &&
+        state(s"$work/down") == state(up)) && System.nanoTime < deadline) {
+      assert(q.exception.isEmpty, q.exception.map(_.toString).getOrElse(""))
+      Thread.sleep(100)
+    }
+    assert(state(s"$work/down") == state(up), "chain must converge pre-widening")
+
+    // upstream widens WHILE the stream runs: the pinned query schema cannot
+    // carry the new column — the source must fail with the named error
+    // rather than silently dropping the column's values
+    MergeInto.merge(spark, table,
+      batch(Seq(("U", 10L, "a", "a1"))).withColumn("tool_meta", lit("m1")),
+      "up", 1L, mor)
+    val ex = intercept[StreamingQueryException] {
+      q.awaitTermination(30000); ()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("upstream schema evolved"), msgs)
+
+    // restart from the same checkpoint: the re-created source pins the
+    // WIDENED schema and re-reads the uncommitted batch — nothing lost
+    val q2 = spark.readStream.format("graft").load(up)
+      .writeStream.format("graft").option("path", s"$work/down")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(q2.exception.isEmpty, q2.exception.map(_.toString).getOrElse(""))
+    val down = LakeTable.load(s"$work/down").read(spark)
+      .select(col("conv_id"), col("text"), col("tool_meta"))
+      .collect().map(r => (r.getString(0), r.getString(1), Option(r.getString(2))))
+      .toSet
+    assert(down == Set(("a", "a1", Some("m1")), ("b", "b0", None)), down.toString)
+  }
+
   test("rejected configurations carry named errors") {
     val work = TestSpark.tmpDir("gsink-err")
     import spark.implicits._
