@@ -86,7 +86,6 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
     val opts = MergeOptions(mode = mode)
     val keyCols = opt("keyCols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(opts.keyCols)
     new GraftStreamSink(dir, ckptId, opts, keyCols)
   }
 

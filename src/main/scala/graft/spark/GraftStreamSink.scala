@@ -40,7 +40,7 @@ import graft.merge.{MergeInto, MergeOptions}
  * sink's own CDC-out feed stays live for the next pipeline.
  */
 final class GraftStreamSink(dir: String, ckptId: String,
-    opts: MergeOptions, createKeyCols: Seq[String]) extends Sink with Logging {
+    opts: MergeOptions, keyColsOpt: Option[Seq[String]]) extends Sink with Logging {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // Re-plan the incremental frame as a plain batch: the merge runs several
@@ -52,6 +52,7 @@ final class GraftStreamSink(dir: String, ckptId: String,
     val cols = df.columns.toSet
 
     if (!LakeTable.exists(dir)) {
+      val createKeyCols = keyColsOpt.getOrElse(opts.keyCols)
       val payload = df.schema.fields.filterNot { f =>
         f.name == opts.opCol || f.name == opts.lsnCol ||
           LakeTable.MetaCols.contains(f.name)
@@ -64,6 +65,12 @@ final class GraftStreamSink(dir: String, ckptId: String,
     }
     val table = LakeTable.load(dir)
     val snap = table.currentSnapshot
+    // an EXPLICIT keyCols option on an existing table must agree with it —
+    // silently merging on different keys than the user asked for would be
+    // a correctness surprise, not a convenience
+    keyColsOpt.foreach(k => require(k == snap.keyCols,
+      s"graft sink: option keyCols ${k.mkString(",")} does not match " +
+        s"existing table keys ${snap.keyCols.mkString(",")}"))
     val mergeOpts = opts.copy(keyCols = snap.keyCols)
 
     val batch =

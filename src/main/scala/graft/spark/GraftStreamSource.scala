@@ -105,7 +105,10 @@ final class GraftStreamSource(sqlContext: SQLContext, dir: String,
     // column's values — permanently, since committed offsets are never
     // re-read. Fail loudly instead: this batch is uncommitted, so a restart
     // re-reads it under the widened schema and no change is lost.
-    val extra = changes.columns.filterNot(schema.fieldNames.contains)
+    // compare PAYLOAD columns only — stored schemas may carry meta columns
+    // (e.g. provenance) the change schema intentionally excludes
+    val extra = changes.columns.filterNot(LakeTable.MetaCols.contains)
+      .filterNot(schema.fieldNames.contains)
     if (extra.nonEmpty)
       throw new IllegalStateException(
         s"graft stream: upstream schema evolved (new columns " +
