@@ -84,7 +84,14 @@ final case class ManifestRef(
     deltaFiles: Int,
     deltaRows: Long,
     minKey: String,
-    maxKey: String)
+    maxKey: String,
+    /** highest `_lsn` across member files — the auto-LSN high-watermark:
+      * lets SQL-face / plain-shape writers assign lsns above the table max
+      * with O(manifest count) driver work instead of parsing every manifest
+      * (at the design's 10^6-file point, ~10^6 entries per INSERT).
+      * Additive field: json4s defaults it to -1 ("unknown") for refs written
+      * before it existed, and consumers fall back to the full walk. */
+    maxLsn: Long = -1L)
 
 object ManifestRef {
   def of(name: String, files: List[DataFile]): ManifestRef = {
@@ -93,7 +100,8 @@ object ManifestRef {
     ManifestRef(name, files.size, files.map(_.rows).sum,
       deltas.size, deltas.map(_.rows).sum,
       if (known && files.nonEmpty) files.map(_.minKey).min(KeyCodec.ordering) else null,
-      if (known && files.nonEmpty) files.map(_.maxKey).max(KeyCodec.ordering) else null)
+      if (known && files.nonEmpty) files.map(_.maxKey).max(KeyCodec.ordering) else null,
+      if (files.nonEmpty) files.map(_.maxLsn).max else -1L)
   }
 }
 
@@ -424,6 +432,19 @@ final class LakeTable(val dir: String) {
     snap.manifests.flatMap(m => readManifest(m.name))
 
   def currentFiles: List[DataFile] = files(currentSnapshot)
+
+  /** Highest `_lsn` in the table (floor 0), from snapshot manifest REFS —
+    * O(manifest count) driver work, no manifest parsed. Refs written before
+    * the maxLsn field (or holding only unknown file bounds) read as -1 and
+    * fall back to the full file walk — slower, never wrong. This is the
+    * auto-LSN assignment watermark for the SQL-face append and the streaming
+    * sink's plain-rows shape. */
+  def maxLsn(snap: Snapshot): Long = {
+    if (snap.manifests.isEmpty) 0L
+    else if (snap.manifests.forall(_.maxLsn >= 0L))
+      math.max(0L, snap.manifests.map(_.maxLsn).max)
+    else (files(snap).map(_.maxLsn) :+ 0L).max
+  }
 
   /**
    * Data files of only the manifests whose key range intersects the given

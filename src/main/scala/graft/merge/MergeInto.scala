@@ -287,43 +287,74 @@ object MergeInto {
       // MoR epochs never read the base, so they need NO pre-write job at all:
       // row count, lsn bounds and tombstone telemetry ride the WRITE job via
       // CollectMetrics (Observation) — measured 1-2s of serial per-epoch time
-      // for even a zero-column pre-count at 8M-row epochs. CoW keeps the full
-      // stats pass: key bounds must exist BEFORE deciding which base files to
-      // read, and file sizing needs the row estimate up front.
+      // for even a zero-column pre-count at 8M-row epochs. CoW keeps a
+      // pre-write stats pass: key bounds must exist BEFORE deciding which
+      // base files to read, and file sizing needs the row estimate up front.
+      //
+      // CoW stats run as ONE keyed aggregation job (guide §1.2/§2.4 — fewer
+      // jobs, not faster jobs): groupBy(k1) with per-key (count, lsn bounds,
+      // delete count), collected under collectKeysLimit. The global stats
+      // (row count, lsn bounds, delete count, key envelope) fold from the
+      // per-key rows on the driver — exactly, since the groups partition the
+      // batch — replacing the former two serial jobs (global agg with
+      // approx_count_distinct, then the keyed collect) with one. Only a batch
+      // whose k1 cardinality exceeds the limit pays a second, global-agg job
+      // (such a batch touches ~every file anyway, so the keyed pass being
+      // wasted is the pre-existing trade — see collectKeysLimit).
       val morObs = if (isMor) Some(new org.apache.spark.sql.Observation()) else None
-      val (bRows, bMinLsn0, bMaxLsn0, bDeletes0, approxKeys, keyLo, keyHi) =
-        if (isMor) {
-          (-1L, -1L, -1L, 0L, Long.MaxValue, null: String, null: String)
-        } else {
+      var bRows = -1L
+      var bMinLsn0 = -1L
+      var bMaxLsn0 = -1L
+      var bDeletes0 = 0L
+      var keyLo: String = null
+      var keyHi: String = null
+      var keySet: Option[Array[String]] = None
+      var maxKeyCount = -1L
+      if (!isMor) {
+        def globalStats(): Unit = {
           val r = bNorm.agg(count(lit(1)), min(col(LsnCol)), max(col(LsnCol)),
             sum(when(col(DeletedCol), 1L).otherwise(0L)),
-            approx_count_distinct(col(k1)),
             min(col(k1)), max(col(k1))).head()
           def enc(i: Int): String =
             if (!prunable || r.isNullAt(i)) null else KeyCodec.encode(k1Type, r.get(i))
-          (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
-            if (r.isNullAt(2)) -1L else r.getLong(2),
-            if (r.isNullAt(3)) 0L else r.getLong(3), r.getLong(4),
-            enc(5), enc(6))
+          bRows = r.getLong(0)
+          bMinLsn0 = if (r.isNullAt(1)) -1L else r.getLong(1)
+          bMaxLsn0 = if (r.isNullAt(2)) -1L else r.getLong(2)
+          bDeletes0 = if (r.isNullAt(3)) 0L else r.getLong(3)
+          keyLo = enc(4); keyHi = enc(5)
+          keySet = None; maxKeyCount = bRows
         }
-      val statsMs = millisSince(tStats)
-      val tKeys = System.nanoTime()
-      // Exact key set (encoded) for pruning + skew signal. CoW only: MoR
-      // epochs never read the base, so the keyed pass would be pure overhead.
-      // 0.8 margin: approx_count_distinct has ~2-5% error.
-      val (keySet, maxKeyCount) =
-        if (opts.mode == MergeMode.Cow && prunable && bRows > 0 &&
-            approxKeys <= (opts.collectKeysLimit * 0.8).toLong) {
-          val keyRows = bNorm.groupBy(col(k1)).agg(count(lit(1)).as("n"))
+        if (prunable) {
+          val keyRows = bNorm.groupBy(col(k1)).agg(count(lit(1)).as("n"),
+            min(col(LsnCol)).as("mn"), max(col(LsnCol)).as("mx"),
+            sum(when(col(DeletedCol), 1L).otherwise(0L)).as("d"))
             .limit(opts.collectKeysLimit + 1).collect()
-          if (keyRows.length > opts.collectKeysLimit || keyRows.exists(_.isNullAt(0)))
-            (None: Option[Array[String]], bRows) // bRows = upper bound on any key
-          else
-            (Some(keyRows.map(r => KeyCodec.encode(k1Type, r.get(0)))
-              .sorted(KeyCodec.ordering)),
-              if (keyRows.isEmpty) 0L else keyRows.map(_.getLong(1)).max)
-        } else (None: Option[Array[String]], bRows)
-      val keysMs = millisSince(tKeys)
+          if (keyRows.length > opts.collectKeysLimit) globalStats()
+          else {
+            bRows = keyRows.map(_.getLong(1)).sum
+            val lsnMins = keyRows.filterNot(_.isNullAt(2)).map(_.getLong(2))
+            val lsnMaxs = keyRows.filterNot(_.isNullAt(3)).map(_.getLong(3))
+            bMinLsn0 = if (lsnMins.isEmpty) -1L else lsnMins.min
+            bMaxLsn0 = if (lsnMaxs.isEmpty) -1L else lsnMaxs.max
+            bDeletes0 = keyRows.map(r => if (r.isNullAt(4)) 0L else r.getLong(4)).sum
+            val nonNull = keyRows.filterNot(_.isNullAt(0))
+            val encoded = nonNull.map(r => KeyCodec.encode(k1Type, r.get(0)))
+              .sorted(KeyCodec.ordering)
+            keyLo = if (encoded.isEmpty) null else encoded.head
+            keyHi = if (encoded.isEmpty) null else encoded.last
+            if (nonNull.length < keyRows.length) {
+              // null keys present: no exact prune set (a null key has no
+              // encoding), same fallback as before
+              keySet = None; maxKeyCount = bRows
+            } else {
+              keySet = Some(encoded)
+              maxKeyCount = if (keyRows.isEmpty) 0L else keyRows.map(_.getLong(1)).max
+            }
+          }
+        } else globalStats()
+      }
+      val statsMs = millisSince(tStats)
+      val keysMs = 0L
 
       if (!isMor && bRows == 0) {
         val next = table.commitChange(snap, snap.schemaJson, Set.empty, Nil,
@@ -369,9 +400,14 @@ object MergeInto {
       // micro-files; MoR has no pre-write row count (by design, see the
       // stats pass) and instead sizes from the PREVIOUS epoch's observed
       // rows — steady streams see stable batch sizes, so this converges
-      // after one epoch; only the very first epoch (or the first after a
-      // JVM restart) pays up to 2x-parallelism small delta files, which are
-      // short-lived and folded away.
+      // after one epoch. The very first epoch (or the first after a JVM
+      // restart) sizes from the batch's SCAN partition count instead of a
+      // flat 2x-parallelism: scan partitions track input bytes
+      // (maxPartitionBytes), so a large first batch still writes wide while
+      // a small one (fresh e2e tables, replay smoke runs) no longer sprays
+      // 2x-cores micro-files whose footer stats + manifest entries dominated
+      // the epoch (measured: 64 files / ~600 ms write for a 5k-row seed
+      // epoch vs 1 file / ~250 ms once the estimator kicks in).
       def sized(estRows: Long): Int = {
         val bySize = (estRows + opts.targetRowsPerFile - 1) / opts.targetRowsPerFile
         val byPar = math.min(2L * spark.sparkContext.defaultParallelism,
@@ -381,7 +417,9 @@ object MergeInto {
       val nOut = if (isMor) {
         Option(lastBatchRows.get(ckptId)).map(_.longValue()).filter(_ > 0)
           .map(sized)
-          .getOrElse(2 * spark.sparkContext.defaultParallelism)
+          .getOrElse(math.max(1, math.min(
+            2 * spark.sparkContext.defaultParallelism,
+            bNorm.rdd.getNumPartitions)))
       } else {
         sized(touchedRows + bRows)
       }

@@ -47,7 +47,9 @@ object EngineQueries {
   def cdcStreamE2E(s: SparkSession, p: GenParams): DataFrame = {
     val work = Scratch.dir("graft-stream-e2e")
     ChangelogGen.writeWal(s, p, s"$work/wal")
-    CdcIngestJob.runAvailableNow(s,
+    // drain (no trailing count): the returned frame IS the table read — the
+    // bench/oracle consumer performs the only read this query needs
+    CdcIngestJob.drainAvailableNow(s,
       IngestConfig(s"$work/wal", s"$work/table", s"$work/ckpt",
         maxFilesPerTrigger = Some(3)))
     LakeTable.load(s"$work/table").read(s)

@@ -101,14 +101,18 @@ object SimilarityOps {
     cached
   }
 
-  /** doc_id -> exploded rare shingles (df-capped) + per-doc sizes */
-  private def rareShingleSets(d: DataFrame, dfCap: Int): (DataFrame, DataFrame) = {
+  /** doc_id -> exploded rare shingles (df-capped), with the per-doc rare
+    * count `n` attached to every row by a window over doc_id. One subtree
+    * serving both the pair expansion and the Jaccard denominators: the
+    * former separate `sz` aggregate was joined back twice, and each join
+    * re-executed the whole ex⋈rare pipeline (plan audit: 3x the exchanges
+    * for the same rows — guide §2.4, duplicated subtrees). */
+  private def rareShinglesWithCount(d: DataFrame, dfCap: Int): DataFrame = {
     val ex = explodedShingles(d)
     val rare = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select(col("s"))
-    val fx = ex.join(rare, "s")
-    val sz = fx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    (fx, sz)
+    ex.join(rare, "s")
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
   }
 
   /**
@@ -134,14 +138,19 @@ object SimilarityOps {
     else {
       // Bound group size BEFORE the collect_list: a mass-duplicate corpus
       // otherwise puts the whole corpus into one bucket — one giant row
-      // (executor OOM) plus O(n^2) pair blowup. Sizes come from a plain hash
-      // aggregate (fixed-size state), joined back; over-cap groups degrade to
-      // consecutive-chain pairs (sorted by doc_id, lead window — streaming,
-      // spillable): O(n) volume while keeping the duplicate cluster CONNECTED
-      // for downstream grouping, and every emitted pair is still exact-verified
-      // by the caller.
-      val sizes = ex.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("_gn"))
-      val withN = ex.join(sizes, groupCols)
+      // (executor OOM) plus O(n^2) pair blowup. Sizes come from a window
+      // count over the group clustering (was: a separate hash aggregate
+      // joined back, which cost two more exchanges and re-executed the input
+      // subtree — guide §2.4); the window's hash clustering is then REUSED
+      // by both branches (the collect_list aggregate and the chain window
+      // group on the same columns), so the whole capped expansion runs off
+      // ONE exchange. Over-cap groups degrade to consecutive-chain pairs
+      // (sorted by doc_id, lead window — streaming, spillable): O(n) volume
+      // while keeping the duplicate cluster CONNECTED for downstream
+      // grouping, and every emitted pair is still exact-verified by the
+      // caller.
+      val wg = Window.partitionBy(groupCols.map(col): _*)
+      val withN = ex.withColumn("_gn", count(lit(1)).over(wg))
       val small = allPairs(withN.filter(col("_gn") <= maxGroup).drop("_gn"))
       val wchain = Window.partitionBy(groupCols.map(col): _*).orderBy(col("doc_id"))
       val big = withN.filter(col("_gn") > maxGroup)
@@ -159,32 +168,59 @@ object SimilarityOps {
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** L2 norm — the factor [[cosine]] recomputes per PAIR. The pair-join
+    * queries precompute it per ROW and use [[cosinePre]]: dot(a,b)/(na*nb)
+    * evaluates the identical IEEE expression tree (each sqrt(dot(x,x)) is
+    * the same sequential fold, just computed once), so results are
+    * bit-identical while the per-pair work drops from 3 dot products to 1
+    * (guide §1.2 "per-task work"). */
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def cosinePre(dotAB: Column, na: Column, nb: Column): Column =
+    dotAB / (na * nb)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Exact n-gram Jaccard near-dup pairs with rare-shingle candidate pruning.
+    // Exact n-gram Jaccard near-dup pairs with rare-shingle candidate
+    // pruning. Per-doc sizes ride the pair expansion (struct of (doc_id, n)
+    // per group member) instead of two post-hoc joins: the pair set and
+    // every Jaccard value are identical — sort_array orders the structs by
+    // their first field, the unique doc_id, exactly as it ordered the bare
+    // ids — while the plan runs the ex⋈rare pipeline once instead of 3x.
     "q_ngram_jaccard" -> ((s, dir) => {
-      val (fx, sz) = rareShingleSets(docs(s, dir), dfCap = 25)
-      val pairs = pairsWithinGroups(fx, Seq("s"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("common"))
+      val fxn = rareShinglesWithCount(docs(s, dir), dfCap = 25)
+      val grouped = fxn.groupBy(col("s"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
+        .filter(size(col("ids")) > 1)
+      val prs = grouped.select(explode(flatten(transform(col("ids"), (x, i) =>
+          transform(
+            slice(col("ids"), i + lit(2), size(col("ids"))),
+            y => struct(x.getField("doc_id").as("doc_a"), x.getField("n").as("na"),
+              y.getField("doc_id").as("doc_b"), y.getField("n").as("nb")))))).as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+          col("p.na").as("na"), col("p.nb").as("nb"))
+      val pairs = prs.groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("common"),
+          first(col("na")).as("na"), first(col("nb")).as("nb"))
       val jac = col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))
       pairs
-        .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
         .filter(jac >= 0.5)
         .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
     }),
 
     // Brute-force cosine top-5 neighbors for the first 3 vectors (the exact
-    // baseline the ANN variant is measured against).
+    // baseline the ANN variant is measured against). Norms precomputed per
+    // row (see cosinePre — bit-identical, 1 dot per pair instead of 3).
     "q_cosine_topk" -> ((s, dir) => {
       val e = embs(s, dir).select(col("vec_id"),
         col("embedding").cast("array<double>").as("emb"))
+        .withColumn("nrm", norm(col("emb")))
       val q = e.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("qid"), col("emb").as("qe"))
+        .select(col("vec_id").as("qid"), col("emb").as("qe"), col("nrm").as("qn"))
       val cand = q.crossJoin(
-        e.select(col("vec_id").as("nid"), col("emb").as("ne")))
+        e.select(col("vec_id").as("nid"), col("emb").as("ne"), col("nrm").as("nn")))
         .filter(col("nid") =!= col("qid"))
-        .withColumn("sim_raw", cosine(col("qe"), col("ne")))
+        .withColumn("sim_raw",
+          cosinePre(dot(col("qe"), col("ne")), col("qn"), col("nn")))
       val w = Window.partitionBy(col("qid")).orderBy(col("sim_raw").desc, col("nid"))
       cand.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
@@ -344,6 +380,7 @@ object SimilarityOps {
   def embedLshTopK(e0: DataFrame, k: Int, sigBits: Int = 16,
       bucketCap: Int = 1024): DataFrame = {
     val e = e0.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", norm(col("emb")))
     // hyperplane j component d = centered hash noise in [-1, 1)
     def plane(j: Int): Column = transform(
       sequence(lit(0), size(col("emb")) - 1),
@@ -358,10 +395,12 @@ object SimilarityOps {
     val wb = Window.partitionBy(col("bucket")).orderBy(col("vec_id"))
     val nbrs = bucketed.withColumn("_rnb", row_number().over(wb))
       .filter(col("_rnb") <= bucketCap).drop("_rnb")
+    // norms ride the bucketed rows (cosinePre: bit-identical, 1 dot/pair)
     val pairs = bucketed.as("a").join(nbrs.as("b"),
       col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
-        cosine(col("a.emb"), col("b.emb")).as("sim_raw"))
+        cosinePre(dot(col("a.emb"), col("b.emb")),
+          col("a.nrm"), col("b.nrm")).as("sim_raw"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim_raw").desc, col("nid"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("qid"), col("nid"), round(col("sim_raw"), 4).as("sim"))
@@ -440,25 +479,33 @@ object SimilarityOps {
    */
   def embedIvfTopK(e0: DataFrame, queries0: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 2): DataFrame = {
+    // norms precomputed per vector/centroid/query; cosinePre keeps the
+    // IEEE expression tree identical while the assignment pass drops from
+    // 3 dot products per (vector, centroid) to 1
     val e = e0.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", norm(col("emb")))
     val queries = queries0.select(col("vec_id").as("qid"),
       col("embedding").cast("array<double>").as("qe"))
+      .withColumn("qn", norm(col("qe")))
     val cents = kmeansCentroids(e, nCentroids, kmeansIters)
+      .withColumn("cnrm", norm(col("cemb")))
     // corpus-side cluster assignment: argmax-cosine centroid per vector
     val assigned = e.crossJoin(broadcast(cents))
       .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cid"), col("emb")), cosine(col("emb"), col("cemb"))).as("a"))
-      .select(col("vec_id").as("nid"), col("a.cid").as("cluster"), col("a.emb").as("ne"))
+      .agg(max_by(struct(col("cid"), col("emb"), col("nrm")),
+        cosinePre(dot(col("emb"), col("cemb")), col("nrm"), col("cnrm"))).as("a"))
+      .select(col("vec_id").as("nid"), col("a.cid").as("cluster"),
+        col("a.emb").as("ne"), col("a.nrm").as("nn"))
     // query-side probe list: nProbe nearest centroids per query
     val wq = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
     val probes = queries.crossJoin(broadcast(cents))
-      .withColumn("csim", cosine(col("qe"), col("cemb")))
+      .withColumn("csim", cosinePre(dot(col("qe"), col("cemb")), col("qn"), col("cnrm")))
       .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
-      .select(col("qid"), col("qe"), col("cid").as("cluster"))
+      .select(col("qid"), col("qe"), col("qn"), col("cid").as("cluster"))
     // exact re-rank within probed clusters only
     val cand = probes.join(assigned, "cluster")
       .filter(col("nid") =!= col("qid"))
-      .withColumn("sim_raw", cosine(col("qe"), col("ne")))
+      .withColumn("sim_raw", cosinePre(dot(col("qe"), col("ne")), col("qn"), col("nn")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim_raw").desc, col("nid"))
     cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("qid"), col("nid"), round(col("sim_raw"), 4).as("sim"))
@@ -467,10 +514,12 @@ object SimilarityOps {
   /** Exact brute-force cosine top-k for every vector (recall baseline). */
   def bruteForceTopK(e0: DataFrame, k: Int): DataFrame = {
     val e = e0.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", norm(col("emb")))
     val pairs = e.as("a").crossJoin(e.as("b"))
       .filter(col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
-        cosine(col("a.emb"), col("b.emb")).as("sim_raw"))
+        cosinePre(dot(col("a.emb"), col("b.emb")),
+          col("a.nrm"), col("b.nrm")).as("sim_raw"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim_raw").desc, col("nid"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("qid"), col("nid"), round(col("sim_raw"), 4).as("sim"))

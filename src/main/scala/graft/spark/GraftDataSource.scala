@@ -218,7 +218,8 @@ private[spark] object GraftSqlTable {
             s"table expects ${payloadNames.mkString(", ")}")
         data.toDF(payloadNames: _*)
       }
-    val lsnBase = (table.files(snap).map(_.maxLsn) :+ 0L).max + 1L
+    // snapshot-ref high-watermark: O(manifest count), parses no manifests
+    val lsnBase = table.maxLsn(snap) + 1L
     val epoch = snap.epochHwm.getOrElse("sql-writer", -1L) + 1L
     val batch = aligned
       .withColumn(opts.opCol, lit("U"))

@@ -87,7 +87,8 @@ final class GraftStreamSink(dir: String, ckptId: String,
           col(LakeTable.LsnCol).as(mergeOpts.lsnCol),
           opExpr.as(mergeOpts.opCol)): _*)
       } else {
-        val lsnBase = (table.files(snap).map(_.maxLsn) :+ 0L).max + 1L
+        // snapshot-ref high-watermark: O(manifest count), parses no manifests
+        val lsnBase = table.maxLsn(snap) + 1L
         df.withColumn(mergeOpts.opCol, lit("U"))
           .withColumn(mergeOpts.lsnCol,
             lit(lsnBase) + monotonically_increasing_id())

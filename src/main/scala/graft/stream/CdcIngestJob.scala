@@ -174,6 +174,14 @@ object CdcIngestJob {
    * table afterwards.
    */
   def runAvailableNow(spark: SparkSession, cfg: IngestConfig): Long = {
+    drainAvailableNow(spark, cfg)
+    LakeTable.load(cfg.tableDir).read(spark).count()
+  }
+
+  /** [[runAvailableNow]] without the trailing row count — for callers that
+    * read the table themselves afterwards (the count is a full resolved
+    * read+fold the caller would immediately repeat). */
+  def drainAvailableNow(spark: SparkSession, cfg: IngestConfig): Unit = {
     val listener = new LineageListener(cfg.tableDir)
     spark.streams.addListener(listener)
     val priorMpb = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
@@ -189,7 +197,6 @@ object CdcIngestJob {
           case None => spark.conf.unset("spark.sql.files.maxPartitionBytes")
         }
     }
-    LakeTable.load(cfg.tableDir).read(spark).count()
   }
 }
 

@@ -121,4 +121,29 @@ class DsvSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null)
   }
+
+  test("auto-LSN assignment parses zero manifests (snapshot maxLsn watermark)") {
+    val dir = TestSpark.tmpDir("dsv-lsn-hwm")
+    val t = seedTable(s"$dir/t") // 3 MoR epochs -> several manifests
+    // the ref watermark must equal the full-walk answer on a fresh table
+    val snap = t.currentSnapshot
+    assert(t.maxLsn(snap) == (t.files(snap).map(_.maxLsn) :+ 0L).max,
+      "snapshot-ref maxLsn diverges from the manifest walk")
+    assert(t.maxLsn(snap) == 200L) // the seed's delete carries the top lsn
+    // SQL-face append: the whole upsert (watermark + MoR merge + pure-append
+    // commit) must parse NO manifest — O(manifest count) driver work only
+    LakeTable.clearManifestCacheForTest()
+    val p0 = LakeTable.manifestParses.get()
+    Seq(("conv-0", 1, "hwm-upd")).toDF("conv_id", "turn_idx", "text")
+      .write.format("graft").mode("append").save(s"$dir/t")
+    val parsed = LakeTable.manifestParses.get() - p0
+    assert(parsed == 0, s"auto-LSN append parsed $parsed manifests, expected 0")
+    // and the assigned lsn actually won over the incumbent row
+    assert(spark.read.format("graft").load(s"$dir/t")
+      .filter($"conv_id" === "conv-0" && $"turn_idx" === 1)
+      .select($"text").head().getString(0) == "hwm-upd")
+    // a ref predating the field (maxLsn = -1) falls back to the walk
+    val legacy = snap.copy(manifests = snap.manifests.map(_.copy(maxLsn = -1L)))
+    assert(t.maxLsn(legacy) == 200L)
+  }
 }
