@@ -181,14 +181,30 @@ object Multimodal {
       samples(2 * i + 1) = ((s >> 8) & 0xFF).toByte
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1,
-      true, false)
-    val out = new ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      new javax.sound.sampled.AudioInputStream(
-        new ByteArrayInputStream(samples), fmt, nSamples.toLong),
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-    out.toByteArray
+    // RIFF/WAVE header written directly (canonical 44-byte PCM16-mono
+    // little-endian header — byte-for-byte what AudioSystem.write emits for
+    // this format). The synthesis side is test scaffolding; routing it
+    // through AudioSystem.write serialized every task on javax.sound's
+    // synchronized provider registry (JDK13Services.getProviders), capping
+    // the whole query at single-task throughput. The DECODE side stays on
+    // javax.sound — that is the operator under test — and reads the exact
+    // same samples from this header.
+    val dataLen = nSamples * 2
+    val h = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    h.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)             // PCM
+      .putShort(1.toShort)             // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)          // byte rate
+      .putShort(2.toShort)             // block align
+      .putShort(16.toShort)            // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    val out = new Array[Byte](44 + dataLen)
+    System.arraycopy(h.array(), 0, out, 0, 44)
+    System.arraycopy(samples, 0, out, 44, dataLen)
+    out
   }
 
   /** Batched WAV decode; undecodable rows carry -1 dimensions. */
@@ -340,15 +356,24 @@ object Multimodal {
     }
   }
 
+  /** Spread the decode input across the cluster: the documents table is a
+    * single small parquet file, so its scan is ONE partition — without this
+    * every synth+decode below runs in a single task while the other cores
+    * idle (guide §2.5 "input skew: repartition immediately after the read").
+    * A decode is a pure per-row function, so placement cannot change any
+    * result; the exchange moves only doc_ids / small payloads. */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
   /**
    * Driver-checkable query: documents' text bytes treated as opaque media
    * payloads -> batched feature extraction -> scalar projection.
    */
   def featureQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val media = s.read.parquet(s"$dir/documents.parquet")
+    val media = spread(s, s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), lit("text/plain").as("media_type"),
-        encode(col("text"), "utf-8").as("media"))
+        encode(col("text"), "utf-8").as("media")))
       .as[MediaRow]
     extractFeatures(media)
       .select(col("doc_id"), col("media_type"), col("n_bytes"),
@@ -359,8 +384,8 @@ object Multimodal {
     * (doc_id-seeded pattern) -> decode -> resize -> luma features. */
   def imageFeatureQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val media = s.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id")).as[Long]
+    val media = spread(s, s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))).as[Long]
       .map(id => MediaRow(id, "image/png", syntheticPng(id)))
     extractImageFeatures(media)
       .select(col("doc_id"), col("width"), col("height"),
@@ -370,8 +395,14 @@ object Multimodal {
   /** Real audio pipeline over synthesized-on-executors WAV corpus. */
   def audioFeatureQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // decode parallelism capped low: javax.sound's getAudioInputStream runs
+    // every call through a SYNCHRONIZED provider-registry lookup
+    // (JDK13Services.getProviders), so wide fan-out convoys on one lock
+    // (measured: 0.56 s at 4 tasks, 0.67 s at 32, 1.1 s single-task) — a
+    // handful of tasks overlaps the real sample work between lock sections
     val media = s.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id")).as[Long]
+      .select(col("doc_id"))
+      .repartition(math.min(4, s.sparkContext.defaultParallelism)).as[Long]
       .map(id => MediaRow(id, "audio/wav", syntheticWav(id)))
     extractAudioFeatures(media)
       .select(col("doc_id"), col("sample_rate"), col("n_samples"),
@@ -385,8 +416,8 @@ object Multimodal {
     * scaffolding, not the operator under test. */
   def videoFeatureQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val media = s.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id")).filter(col("doc_id") % 5 === 0).as[Long]
+    val media = spread(s, s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).filter(col("doc_id") % 5 === 0)).as[Long]
       .map(id => MediaRow(id, "video/x-motion-jpeg", syntheticMjpeg(id)))
     extractVideoFeatures(media, everyK = 3)
       .select(col("doc_id"), col("n_frames"), col("n_sampled"),

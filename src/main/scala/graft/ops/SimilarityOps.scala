@@ -93,7 +93,17 @@ object SimilarityOps {
       // Referencing the tokenizer expression inside the shingle lambda would
       // re-run the whole regexp extraction per element access — O(tokens^2)
       // regex work per document (measured 3-4x the entire query's time).
-      cached = d.select(col("doc_id"), toks.as("_tk"))
+      //
+      // The doc rows are spread across the cluster BEFORE tokenize/explode:
+      // the documents table is one small parquet file, so its scan is a
+      // single partition and the whole tokenize + shingle + explode pipeline
+      // (and every consumer's map-side partial aggregation over the cached
+      // frame) would otherwise run in ONE task (guide §2.5 input skew). The
+      // exchange moves only the raw doc rows — far cheaper than the
+      // single-threaded regex work it unlocks.
+      cached = d.select(col("doc_id"), col("text"))
+        .repartition(d.sparkSession.sparkContext.defaultParallelism)
+        .select(col("doc_id"), toks.as("_tk"))
         .select(col("doc_id"), explode(shingles(col("_tk"))).as("s"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       shingleCache.put(key, cached)
@@ -323,9 +333,13 @@ object SimilarityOps {
       .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
   }
 
-  /** 64-bit SimHash: bit i set iff sum over tokens of (2*bit_i(hash)-1) > 0. */
+  /** 64-bit SimHash: bit i set iff sum over tokens of (2*bit_i(hash)-1) > 0.
+    * Input spread before tokenize/explode — single-file sources otherwise
+    * run the whole regex + per-bit map work in one task (guide §2.5). */
   def simhash(d: DataFrame): DataFrame = {
-    val tokd = d.select(col("doc_id"), explode(toks).as("t"))
+    val tokd = d.select(col("doc_id"), col("text"))
+      .repartition(d.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(toks).as("t"))
       .withColumn("h", xxhash64(col("t")))
     val bitSums = (0 until 64).map(i =>
       sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$i"))
@@ -379,7 +393,11 @@ object SimilarityOps {
    */
   def embedLshTopK(e0: DataFrame, k: Int, sigBits: Int = 16,
       bucketCap: Int = 1024): DataFrame = {
+    // spread before the signature map: the 16 hyperplane dot products (hash
+    // noise generated per element) are the heaviest per-row expression in
+    // this query, and a single-file embeddings source runs them in one task
     val e = e0.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .repartition(e0.sparkSession.sparkContext.defaultParallelism)
       .withColumn("nrm", norm(col("emb")))
     // hyperplane j component d = centered hash noise in [-1, 1)
     def plane(j: Int): Column = transform(
@@ -483,6 +501,7 @@ object SimilarityOps {
     // IEEE expression tree identical while the assignment pass drops from
     // 3 dot products per (vector, centroid) to 1
     val e = e0.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .repartition(e0.sparkSession.sparkContext.defaultParallelism)
       .withColumn("nrm", norm(col("emb")))
     val queries = queries0.select(col("vec_id").as("qid"),
       col("embedding").cast("array<double>").as("qe"))
