@@ -95,15 +95,19 @@ object Compaction {
     * folding in one pass over the data.
     *
     * `scoped` (default true): fold deltas only into the BASE files whose key
-    * range intersects the deltas' key envelope, carrying the rest of the base
+    * range intersects the UNION of the per-delta key intervals (sorted and
+    * merged, membership by binary search), carrying the rest of the base
     * over by reference — a key-local delta burst (one hot tenant, one
-    * backfilled range) rewrites O(intersecting base), never O(table). A base
-    * file outside the envelope on the first key column cannot share any full
-    * key with a delta, so the untouched partition of the fold is exact; the
-    * fallback to a full fold (any delta/base file with unknown bounds, or
-    * uniform deltas spanning the whole key space) degrades to the old
-    * behavior, never to a wrong one. Tombstones in carried-over base files
-    * are untouched (folding only re-resolves rows that could conflict). */
+    * backfilled range) rewrites O(intersecting base), never O(table), and
+    * two concurrent bursts at OPPOSITE ends of the keyspace no longer widen
+    * the scope to ~everything the way the earlier single [min,max] envelope
+    * did (the multi-tenant write pattern that defeated r5's scoping). A base
+    * file intersecting no delta interval on the first key column cannot
+    * share any full key with a delta, so the untouched partition of the fold
+    * is exact; the fallback to a full fold (any delta/base file with unknown
+    * bounds) degrades to the old behavior, never to a wrong one. Tombstones
+    * in carried-over base files are untouched (folding only re-resolves rows
+    * that could conflict). */
   def foldDeltas(
       spark: SparkSession,
       table: LakeTable,
@@ -121,10 +125,30 @@ object Compaction {
     val (touchedBase, carriedBase) =
       if (!scoped || !deltaBoundsKnown) (baseFiles, Nil)
       else {
-        val lo = deltas.map(_.minKey).min(KeyCodec.ordering)
-        val hi = deltas.map(_.maxKey).max(KeyCodec.ordering)
-        baseFiles.partition(f => f.minKey == null || f.maxKey == null ||
-          (KeyCodec.compare(f.maxKey, lo) >= 0 && KeyCodec.compare(f.minKey, hi) <= 0))
+        // union of per-delta intervals: sort by lo, merge overlaps — after
+        // the merge the intervals are disjoint and both endpoints are
+        // strictly increasing, so base-file intersection is a binary search
+        val sortedIv = deltas.map(f => (f.minKey, f.maxKey))
+          .sortWith((x, y) => KeyCodec.compare(x._1, y._1) < 0)
+        val merged = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        sortedIv.foreach { case (lo, hi) =>
+          merged.lastOption match {
+            case Some((plo, phi)) if KeyCodec.compare(lo, phi) <= 0 =>
+              if (KeyCodec.compare(hi, phi) > 0) merged(merged.size - 1) = (plo, hi)
+            case _ => merged += ((lo, hi))
+          }
+        }
+        def intersectsAny(f: DataFile): Boolean =
+          f.minKey == null || f.maxKey == null || {
+            // first interval whose hi >= f.minKey; intersects iff lo <= f.maxKey
+            var l = 0; var r = merged.length
+            while (l < r) {
+              val m = (l + r) >>> 1
+              if (KeyCodec.compare(merged(m)._2, f.minKey) < 0) l = m + 1 else r = m
+            }
+            l < merged.length && KeyCodec.compare(merged(l)._1, f.maxKey) <= 0
+          }
+        baseFiles.partition(intersectsAny)
       }
     val all = touchedBase ++ deltas
     val schema = snap.schema
@@ -230,6 +254,17 @@ object Compaction {
       if (p.startsWith("file:")) Paths.get(java.net.URI.create(p).getPath)
       else Paths.get(p)
 
+    // dirs whose contents THIS vacuum deleted: always collapsible once empty
+    // (deleting a child bumps the parent's mtime, so an age check alone
+    // would keep just-emptied dirs around as husks forever); dirs we did NOT
+    // touch stay age-gated below — a concurrent writer's freshly created,
+    // still-empty staging dir (mkdir before first file write) must survive.
+    val touchedDirs = scala.collection.mutable.Set[java.nio.file.Path]()
+    def markTouched(f: java.nio.file.Path): Unit = {
+      val parent = f.toAbsolutePath.normalize().getParent
+      if (parent != null) { touchedDirs += parent; () }
+    }
+
     val (filesDeleted, snapsDeleted) = if (cutoff <= 0) (0, 0) else {
       // a retained-window version may itself be missing (an earlier vacuum ran
       // with a smaller window); a gone snapshot references nothing, so it
@@ -260,7 +295,12 @@ object Compaction {
       // deletion order: data files, then manifests, then snapshots — a crash
       // at any point leaves only orphans (re-collected next run), never a
       // retained snapshot with a missing manifest
-      val fd = deadFiles.count(p => Files.deleteIfExists(local(p)))
+      val fd = deadFiles.count { p =>
+        val f = local(p)
+        val deleted = Files.deleteIfExists(f)
+        if (deleted) markTouched(f)
+        deleted
+      }
       deadManifests.foreach(m =>
         Files.deleteIfExists(Paths.get(table.dir, "_manifests", m)))
       val sd = oldSnaps.count(v =>
@@ -331,24 +371,34 @@ object Compaction {
         val hasLive = all.exists(f => liveDataPaths(canon(f)))
         all.foreach { f =>
           val keep = liveDataPaths(canon(f)) || (hasLive && isMarker(f))
-          if (!keep && oldEnough(f) && Files.deleteIfExists(f)) orphans += 1
+          if (!keep && oldEnough(f) && Files.deleteIfExists(f)) {
+            markTouched(f); orphans += 1
+          }
         }
       }
     }
 
     // drop now-empty dirs under data/ (deepest-first so emptied nested
-    // staging trees collapse in one pass; streams closed promptly)
+    // staging trees collapse in one pass; streams closed promptly). A dir is
+    // dropped when empty AND either this vacuum emptied it (touchedDirs /
+    // a child we just dropped — our own deletions bump its mtime, so the
+    // age check cannot apply to those) OR it was already empty and older
+    // than orphanMinAgeMs. An untouched YOUNG empty dir survives: it is a
+    // concurrent writer's just-created staging dir (or the _temporary tree
+    // between mkdir and first file write).
     val dataDir = Paths.get(table.dir, "data")
-    def dropEmptyDirs(d: java.nio.file.Path): Unit = {
-      ls(d).foreach(c => if (Files.isDirectory(c)) dropEmptyDirs(c))
-      if (d != dataDir) {
+    def dropEmptyDirs(d: java.nio.file.Path): Boolean = {
+      val childDropped = ls(d).map(c =>
+        Files.isDirectory(c) && dropEmptyDirs(c)).exists(identity)
+      if (d == dataDir) false
+      else {
         val s = Files.list(d)
         val empty = try !s.iterator().hasNext finally s.close()
-        if (empty) Files.deleteIfExists(d)
-        ()
+        val ours = childDropped || touchedDirs.contains(canon(d))
+        empty && (ours || oldEnough(d)) && Files.deleteIfExists(d)
       }
     }
-    if (Files.isDirectory(dataDir)) dropEmptyDirs(dataDir)
+    if (Files.isDirectory(dataDir)) { dropEmptyDirs(dataDir); () }
     (filesDeleted + orphans, snapsDeleted)
   }
 

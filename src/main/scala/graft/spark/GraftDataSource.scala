@@ -204,15 +204,26 @@ private[spark] object GraftSqlTable {
     val opts = MergeOptions(keyCols = snap.keyCols,
       mode = graft.merge.MergeMode.Mor)
     // ACCEPT_ANY_SCHEMA means Spark hands the query's own output columns
-    // through unresolved: `INSERT INTO … VALUES` arrives as col1..colN.
-    // No name overlap with the payload schema = positional statement — map
-    // to the payload fields in order; any overlap = by-name (evolution may
-    // add genuinely new columns alongside existing ones).
+    // through unresolved: `INSERT INTO … VALUES` arrives as col1..colN
+    // (older planners: _c0.._cN). Positional mapping applies ONLY to that
+    // SQL-literal shape — a DataFrame append whose column names share no
+    // overlap with the payload schema used to be positionally mapped too,
+    // silently landing misnamed columns in the wrong fields; it now fails
+    // with the mismatch listed. Any name overlap stays by-name (add-column
+    // schema evolution may introduce genuinely new columns alongside
+    // existing ones).
     val payloadNames = snap.schema.fieldNames
       .filterNot(LakeTable.MetaCols.contains).toSeq
+    val sqlLiteralShape = data.columns.forall(_.matches("col[0-9]+|_c[0-9]+"))
     val aligned =
       if (data.columns.exists(payloadNames.contains)) data
       else {
+        require(sqlLiteralShape,
+          s"graft: none of the write's columns " +
+            s"(${data.columns.mkString(", ")}) resolve against the table's " +
+            s"payload schema (${payloadNames.mkString(", ")}) — refusing a " +
+            "silent positional mapping; rename the columns (or use " +
+            "SQL-literal column names col1..colN for a positional INSERT)")
         require(data.columns.length == payloadNames.length,
           s"graft: positional INSERT has ${data.columns.length} columns; " +
             s"table expects ${payloadNames.mkString(", ")}")

@@ -88,10 +88,13 @@ final case class IngestConfig(
       * default — retention is destructive, so it is opt-in). Executes on the
       * out-of-band maintenance thread, never inside the epoch: a long-lived
       * ingest otherwise accumulates one snapshot + manifest per epoch
-      * forever. Sized so downstream change-feed consumers
-      * ([[graft.stream.ChangeFeed]]) keep a catch-up window of
-      * `vacuumRetainVersions` epochs before hitting the named retention
-      * error. */
+      * forever. `vacuumRetainVersions` counts snapshot VERSIONS, not
+      * epochs: async fold commits (and fold retries) consume version slots
+      * too, so downstream change-feed consumers
+      * ([[graft.stream.ChangeFeed]]) get a catch-up window somewhat SHORTER
+      * than this many epochs — size it with the table's fold cadence in
+      * mind (folds land at most once per ratio/file-count trigger, so the
+      * window is at least ~half this many epochs in the worst case). */
     vacuumEveryEpochs: Option[Int] = None,
     vacuumRetainVersions: Int = 64,
     /** passed through to vacuum's orphan GC age floor; the 24h default is

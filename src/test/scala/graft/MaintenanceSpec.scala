@@ -88,6 +88,57 @@ class MaintenanceSpec extends AnyFunSuite {
     zKeys.foreach(k => assert(got(k) == s"upd-$k", s"folded key $k"))
   }
 
+  test("scoped fold: bursts at OPPOSITE keyspace ends carry the middle base") {
+    val work = TestSpark.tmpDir("scoped-fold-union")
+    val dir = s"$work/t"
+    LakeTable.create(dir, Schemas.turn)
+    val table = LakeTable.load(dir)
+    // base over three far-apart ranges: a… / m… / z…
+    val aKeys = (0 until 100).map(i => f"a$i%04d")
+    val mKeys = (0 until 100).map(i => f"m$i%04d")
+    val zKeys = (0 until 100).map(i => f"z$i%04d")
+    MergeInto.merge(spark, table,
+      batch((aKeys ++ mKeys ++ zKeys).zipWithIndex.map { case (k, i) =>
+        ("I", i.toLong, k, s"orig-$k")
+      }),
+      "sfu", 0L, MergeOptions(targetRowsPerFile = 40L, minRowsPerFile = 1L))
+    val base = table.currentFiles
+    assert(base.forall(!_.delta) && base.size >= 6, s"setup: ${base.size} base files")
+    // two delta bursts: the a range AND the z range — the old single-envelope
+    // scope ([min over all deltas, max over all deltas]) covered m too and
+    // degraded this exact pattern to a full-table fold
+    MergeInto.merge(spark, table,
+      batch(aKeys.zipWithIndex.map { case (k, i) => ("U", 1000L + i, k, s"upd-$k") }),
+      "sfu", 1L, MergeOptions(mode = MergeMode.Mor, minRowsPerFile = 1L))
+    MergeInto.merge(spark, table,
+      batch(zKeys.zipWithIndex.map { case (k, i) => ("U", 2000L + i, k, s"upd-$k") }),
+      "sfu", 2L, MergeOptions(mode = MergeMode.Mor, minRowsPerFile = 1L))
+    // middle base files: strictly between the two burst ranges
+    val deltas = table.currentFiles.filter(_.delta)
+    assert(deltas.nonEmpty && deltas.forall(f => f.minKey != null && f.maxKey != null))
+    val middle = base.filter(f => f.minKey > KeyCodec.encode(
+      org.apache.spark.sql.types.StringType, "b") &&
+      f.maxKey < KeyCodec.encode(org.apache.spark.sql.types.StringType, "y"))
+      .map(_.path).toSet
+    assert(middle.nonEmpty, "setup must produce middle base files")
+
+    val stats = Compaction.foldDeltas(spark, table)
+    val after = table.currentFiles
+    assert(after.forall(!_.delta), "fold must leave no deltas")
+    // the middle of the keyspace is OUTSIDE the union of the two burst
+    // intervals: its base files must be carried over by identity
+    assert(middle.subsetOf(after.map(_.path).toSet),
+      "union-scoped fold rewrote base files between the two bursts")
+    assert(stats.rowsRewritten < base.map(_.rows).sum + deltas.map(_.rows).sum,
+      "union-scoped fold should rewrite fewer rows than a full fold")
+    // content parity across all three ranges
+    val got = textByKey(dir)
+    assert(got.size == 300)
+    aKeys.foreach(k => assert(got(k) == s"upd-$k", s"folded key $k"))
+    mKeys.foreach(k => assert(got(k) == s"orig-$k", s"carried key $k"))
+    zKeys.foreach(k => assert(got(k) == s"upd-$k", s"folded key $k"))
+  }
+
   test("async fold: epochs commit while a fold is in flight; state stays exact") {
     val work = TestSpark.tmpDir("async-fold")
     val dir = s"$work/t"
