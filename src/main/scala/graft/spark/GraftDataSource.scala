@@ -222,8 +222,10 @@ private[spark] object GraftSqlTable {
           s"graft: none of the write's columns " +
             s"(${data.columns.mkString(", ")}) resolve against the table's " +
             s"payload schema (${payloadNames.mkString(", ")}) — refusing a " +
-            "silent positional mapping; rename the columns (or use " +
-            "SQL-literal column names col1..colN for a positional INSERT)")
+            "silent positional mapping; rename the DataFrame columns (for " +
+            "INSERT INTO … SELECT, alias the select list to the table's " +
+            "column names). Bare `INSERT INTO … VALUES` keeps working: its " +
+            "columns arrive as the SQL-literal shape col1..colN")
         require(data.columns.length == payloadNames.length,
           s"graft: positional INSERT has ${data.columns.length} columns; " +
             s"table expects ${payloadNames.mkString(", ")}")

@@ -122,6 +122,28 @@ class DsvSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("zero-overlap DataFrame append fails loudly; named INSERT SELECT works") {
+    val dir = TestSpark.tmpDir("dsv-posguard")
+    seedTable(s"$dir/t")
+    // misnamed columns must NOT be silently positionally mapped
+    val e = intercept[Exception] {
+      Seq(("oops", 9, "boom")).toDF("a", "b", "c")
+        .write.format("graft").mode("append").save(s"$dir/t")
+    }
+    assert(e.getMessage != null && e.getMessage.contains("positional"),
+      s"expected the positional-mapping refusal, got: ${e.getMessage}")
+    // the documented alternative: resolve by name (aliased select list)
+    spark.sql(s"CREATE OR REPLACE TEMP VIEW dsv_guard_src AS " +
+      "SELECT 'conv-7' AS s1, 0 AS s2, 'via-select' AS s3")
+    spark.read.format("graft").load(s"$dir/t") // force table registration path
+    spark.sql(s"CREATE TABLE IF NOT EXISTS dsv_guard USING graft " +
+      s"OPTIONS (path '$dir/t')")
+    spark.sql("INSERT INTO dsv_guard " +
+      "SELECT s1 AS conv_id, s2 AS turn_idx, s3 AS text FROM dsv_guard_src")
+    assert(spark.read.format("graft").load(s"$dir/t")
+      .filter($"conv_id" === "conv-7").count() == 1)
+  }
+
   test("auto-LSN assignment parses zero manifests (snapshot maxLsn watermark)") {
     val dir = TestSpark.tmpDir("dsv-lsn-hwm")
     val t = seedTable(s"$dir/t") // 3 MoR epochs -> several manifests
