@@ -39,9 +39,13 @@ val fastTmp: Seq[String] = sys.env.get("SPARK_GRAFT_TMPDIR") match {
     val shm = new java.io.File("/dev/shm")
     other.orElse(if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft-tmp")
       else None)
-      .map { d =>
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
-        s"-Djava.io.tmpdir=$d"
+      .flatMap { d =>
+        // never let a tmpfs hiccup break the BUILD — fall back to the system
+        // tmpdir instead (the flag is an optimization, not a requirement)
+        try {
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+          Some(s"-Djava.io.tmpdir=$d")
+        } catch { case _: Exception => None }
       }.toSeq
 }
 javaOptions ++= fastTmp ++ jdk17AddOpens ++ Seq(
